@@ -1,0 +1,138 @@
+"""Typed configuration dataclasses.
+
+The reference exposes configuration only through constructor keyword
+arguments (``lnasr/mfcc.py:23-48``, ``lnasr/gmmhmm.py:34-44``,
+``third/vadlstd/VadLstd.py:24-41``); here every subsystem has a frozen,
+hashable dataclass so configs can be closed over by ``jax.jit`` as static
+arguments and round-tripped through checkpoints.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class MFCCConfig:
+    """MFCC frontend geometry (matches the reference defaults,
+    ``lnasr/mfcc.py:23-48``: 16 kHz, 25 ms frames, 10 ms stride, 512-pt FFT,
+    40 mel filters, 12 cepstra + log-energy + deltas -> 39 dims).
+
+    ``spectrum_method`` selects the STFT implementation:
+      - ``"matmul"``: GEMM-native windowed DFT (two MXU matmuls) — the fast
+        TPU path; numerically equal to the FFT path up to float rounding.
+      - ``"fft"``: ``jnp.fft.rfft`` via the XLA FFT op.
+    """
+
+    sample_rate: int = 16000
+    frame_t: float = 25e-3
+    frame_stride: float = 10e-3
+    preemph: float = 0.97
+    fft_n: int = 512
+    n_mels: int = 40
+    n_ceps: int = 12
+    spectrum_method: str = "matmul"
+    # Replicate the reference's delta assembly exactly (its first delta row
+    # duplicates the *second* feature row, ``lnasr/mfcc.py:162-172``).
+    # "standard" uses delta[0] = features[1] - features[0] instead.
+    delta_mode: str = "compat"
+
+    @property
+    def frame_len(self) -> int:
+        return int(self.sample_rate * self.frame_t)
+
+    @property
+    def frame_step(self) -> int:
+        return int(self.sample_rate * self.frame_stride)
+
+    @property
+    def fft_size(self) -> int:
+        return self.fft_n // 2 + 1
+
+    @property
+    def feature_dim(self) -> int:
+        return (self.n_ceps + 1) * 3  # cepstra + log-energy, with Δ and ΔΔ
+
+
+@dataclasses.dataclass(frozen=True)
+class HMMConfig:
+    """Discrete-emission HMM topology (states x symbols)."""
+
+    n_states: int = 2
+    n_symbols: int = 3
+
+
+@dataclasses.dataclass(frozen=True)
+class GMMHMMConfig:
+    """Continuous GMM-HMM topology.
+
+    ``cov_type`` is ``"diag"`` (TPU fast path; what production classical ASR
+    uses) or ``"full"`` (parity with the reference's full-covariance math,
+    ``lnasr/gmmhmm.py:28``).
+    """
+
+    n_states: int = 5
+    n_mix: int = 8
+    dim: int = 39
+    cov_type: str = "diag"
+    min_std: float = 0.01  # covariance ridge, as reference ``gmmhmm.py:44``
+    var_floor: float = 1e-3
+
+
+@dataclasses.dataclass(frozen=True)
+class NGramConfig:
+    """Katz-backoff n-gram LM (order, fixed discount — ``lnasr/ngram.py:117``)."""
+
+    order: int = 3
+    discount: float = 0.7
+    add_sentence_bounds: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class LTSDConfig:
+    """Long-Term Spectral Divergence VAD (``third/vadlstd/VadLstd.py:24-41``)."""
+
+    sample_rate: int = 16000
+    win_size: int = 2048
+    step_size: int = 1024
+    order: int = 6
+    threshold: float = -6.0
+    alpha: Optional[float] = None
+
+    @property
+    def fft_size(self) -> int:
+        return self.win_size // 2 + 1
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Logical device mesh. Axes:
+
+    - ``data``: utterance batch (data parallelism; EM stats psum here)
+    - ``seq``: time-chunk axis for long-audio associative-scan parallelism
+    - ``model``: GMM component sharding when N*M*D exceeds one chip
+    """
+
+    data: int = 1
+    seq: int = 1
+    model: int = 1
+
+    @property
+    def axis_names(self) -> Tuple[str, ...]:
+        return ("data", "seq", "model")
+
+    @property
+    def shape(self) -> Tuple[int, ...]:
+        return (self.data, self.seq, self.model)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """EM training loop settings (convergence rule as ``lnasr/hmm.py:285-312``)."""
+
+    max_iters: int = 100
+    eps: float = 1e-4
+    seed: int = 0
+    checkpoint_every: int = 0  # 0 disables periodic checkpoints
+    checkpoint_dir: Optional[str] = None

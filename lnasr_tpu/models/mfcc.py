@@ -1,0 +1,157 @@
+"""MFCC frontend: 39-dim features as one jit-compiled array program.
+
+Covers the reference pipeline (``lnasr/mfcc.py:108-175``) exactly —
+pre-emphasis, 25 ms/10 ms framing with zero-pad, Hamming window, 512-pt
+rFFT power spectrum (Parseval-scaled), 40-filter mel bank, dB with eps
+floor, per-column mean subtraction (+1e-8), orthonormal DCT-II, cepstra
+1..12 mean-normalized, log-energy 13th dim, then Δ and ΔΔ to 39 dims
+(including the reference's quirk of seeding the delta with the *second*
+feature row, ``mfcc.py:162-172``; set ``delta_mode="standard"`` for the
+conventional first difference).
+
+TPU-first design choices versus the reference:
+  - every transform matrix (windowed DFT basis, mel bank, DCT) is a
+    host-side constant closed over by ``jit`` — the reference rebuilds the
+    filterbank per call (``mfcc.py:145``);
+  - the default STFT path is a GEMM-native windowed DFT (two MXU matmuls),
+    numerically identical to the FFT path;
+  - the whole pipeline is shape-static and batchable: ``extract_batch``
+    vmaps over utterances with per-utterance length masks so means are
+    taken over real frames only.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lnasr_tpu.config import MFCCConfig
+from lnasr_tpu.ops.framing import (
+    hamming_window,
+    num_frames,
+    preemphasis,
+    split_frames,
+)
+from lnasr_tpu.ops.spectral import dct2_ortho_matrix, mel_filterbank, power_spectrum
+
+_EPS = float(np.finfo(np.float64).eps)  # dB floor, as ``mfcc.py:149``
+
+
+class MFCCResult(NamedTuple):
+    power: jax.Array  # (T, fft_size) frame power spectra
+    cepstrum: jax.Array  # (T, n_mels) mel log-spectra after DCT
+    features: jax.Array  # (T, 39) final features
+    mask: jax.Array  # (T,) bool, frames belonging to the real signal
+
+
+def _masked_mean(x: jax.Array, mask: jax.Array) -> jax.Array:
+    """Mean over valid frames (axis 0); equals ``np.mean`` when all valid."""
+    w = mask.astype(x.dtype)[:, None]
+    return jnp.sum(x * w, axis=0) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def _delta(feat: jax.Array, mode: str) -> jax.Array:
+    """First-difference delta. ``compat`` seeds row 0 with ``feat[1]``
+    (reference quirk, ``mfcc.py:162-166``); ``standard`` with
+    ``feat[1]-feat[0]``."""
+    diff = feat[1:] - feat[:-1]
+    head = feat[1:2] if mode == "compat" else feat[1:2] - feat[0:1]
+    return jnp.concatenate([head, diff], axis=0)
+
+
+def mfcc_features(
+    signal: jax.Array,
+    config: MFCCConfig = MFCCConfig(),
+    length: Optional[jax.Array] = None,
+    dtype=jnp.float32,
+) -> MFCCResult:
+    """Compute MFCCs for one (possibly zero-padded) utterance.
+
+    ``signal`` is ``(S,)`` int16/float; ``length`` an optional scalar count
+    of real samples (defaults to all of them). Frame count is static
+    (derived from S); ``mask`` marks the frames a length-``length`` signal
+    would actually produce, and all means are masked accordingly, so padded
+    batches reproduce the unpadded per-utterance result.
+    """
+    frame_len, frame_step = config.frame_len, config.frame_step
+    x = signal.astype(dtype)
+    x = preemphasis(x, config.preemph)
+    t_total = num_frames(x.shape[-1], frame_len, frame_step)
+
+    if length is None:
+        mask = jnp.ones((t_total,), dtype=bool)
+    else:
+        # zero out padding *after* pre-emphasis so the tail matches the
+        # reference's "pre-emphasize then zero-pad" order (mfcc.py:132-135)
+        x = jnp.where(jnp.arange(x.shape[-1]) < length, x, 0)
+        count = jnp.ceil(jnp.abs(length - (frame_len - frame_step)) / frame_step)
+        count = jnp.maximum(count, 1).astype(jnp.int32)
+        mask = jnp.arange(t_total) < count
+
+    frames = split_frames(x, frame_len, frame_step)  # (T, L), unwindowed
+
+    if config.spectrum_method == "matmul":
+        power = power_spectrum(frames, config.fft_n, method="matmul")
+    else:
+        window = jnp.asarray(hamming_window(frame_len), dtype=dtype)
+        power = power_spectrum(frames * window, config.fft_n, method="fft")
+
+    fbank = jnp.asarray(
+        mel_filterbank(config.n_mels, config.fft_n, config.sample_rate), dtype=dtype
+    )
+    mel_energy = power @ fbank.T  # (T, n_mels)
+    mel_energy = jnp.where(mel_energy == 0, jnp.asarray(_EPS, dtype), mel_energy)
+    cepstrum = 20.0 * jnp.log10(mel_energy)
+    cepstrum = cepstrum - (_masked_mean(cepstrum, mask) + 1e-8)
+    dct_m = jnp.asarray(dct2_ortho_matrix(config.n_mels), dtype=dtype)
+    cepstrum = cepstrum @ dct_m.T
+
+    feats = cepstrum[:, 1 : 1 + config.n_ceps]
+    feats = feats - (_masked_mean(feats, mask) + 1e-8)
+    frame_energy = jnp.sum(power, axis=1)
+    if length is not None:
+        # padded frames have zero power; keep the log finite there
+        frame_energy = jnp.where(mask, frame_energy, 1.0)
+    log_e = jnp.log(frame_energy)[:, None]
+    feats = jnp.concatenate([feats, log_e], axis=1)  # (T, 13)
+    feats = jnp.concatenate([feats, _delta(feats, config.delta_mode)], axis=1)  # 26
+    base = config.n_ceps + 1
+    feats = jnp.concatenate(
+        [feats, _delta(feats[:, base : 2 * base], config.delta_mode)], axis=1
+    )  # 39
+    return MFCCResult(power=power, cepstrum=cepstrum, features=feats, mask=mask)
+
+
+class MFCC:
+    """Convenience wrapper with jitted single and batched entry points."""
+
+    def __init__(self, config: MFCCConfig = MFCCConfig(), dtype=jnp.float32):
+        self.config = config
+        self.dtype = dtype
+        self.D = config.feature_dim
+
+    @functools.cached_property
+    def _single(self):
+        cfg, dtype = self.config, self.dtype
+        return jax.jit(lambda sig: mfcc_features(sig, cfg, None, dtype))
+
+    @functools.cached_property
+    def _batched(self):
+        cfg, dtype = self.config, self.dtype
+        fn = lambda sig, length: mfcc_features(sig, cfg, length, dtype)
+        return jax.jit(jax.vmap(fn))
+
+    def __call__(self, signal) -> MFCCResult:
+        """One utterance -> :class:`MFCCResult` (reference's ``calc_mfcc``
+        returns the same (power, cepstrum, features) triple,
+        ``mfcc.py:175``)."""
+        return self._single(jnp.asarray(signal))
+
+    def extract_batch(self, signals, lengths) -> MFCCResult:
+        """Batched ``(B, S)`` signals with per-utterance ``lengths`` ->
+        field-wise ``(B, ...)`` results with frame masks."""
+        return self._batched(jnp.asarray(signals), jnp.asarray(lengths))

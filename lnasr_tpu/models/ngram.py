@@ -1,0 +1,310 @@
+"""Katz-backoff n-gram language model with ARPA I/O.
+
+Host-side (CPU) component: LM estimation is counting + dictionary math, not
+an accelerator workload. Mirrors the reference's semantics
+(``lnasr/ngram.py``): order-n counts with recursively built lower orders,
+fixed-discount Katz backoff (0.7), probabilities stored in **log10** for
+ARPA compatibility, sentence log-probability and perplexity
+``10^(-logP/len)``, and the ARPA text format writer/parser.
+
+Differences from the reference (documented quirks we fix):
+  - the ARPA writer does not share mutable class-level section lists
+    (``ngram.py:267-271,307`` accumulates across saves in one process);
+  - the parser validates section structure and raises on malformed input;
+  - :meth:`NGramModel.score_table` exports the LM as dense arrays for
+    device-side decoding (vocabulary-indexed log10 probs + backoff weights)
+    — the bridge to the TPU decoder in
+    :mod:`lnasr_tpu.models.recognizer`.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter, defaultdict
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+from lnasr_tpu.config import NGramConfig
+from lnasr_tpu.utils.text import PUNCTUATION_UNICODE
+
+BOS = "<s>"
+EOS = "</s>"
+NEG_INF = -1e300  # the reference's NInf sentinel (ngram.py:119)
+
+
+class Tokenizer:
+    """Whitespace tokenizer treating CJK punctuation as separators
+    (``ngram.py:20-43``)."""
+
+    punctuation = PUNCTUATION_UNICODE
+
+    @classmethod
+    def get_tokens(cls, text: str, add_bounds: bool = True) -> Tuple[str, ...]:
+        cleaned = "".join(" " if ch in cls.punctuation else ch for ch in text)
+        if add_bounds:
+            cleaned = f"{BOS} {cleaned} {EOS}"
+        return tuple(cleaned.split())
+
+
+class NGramCounter:
+    """Hierarchy of n-gram counts: ``counts[context][word]`` for each order
+    down to unigrams (``ngram.py:45-112``)."""
+
+    def __init__(self, order: int, token_seqs: Iterable[Tuple[str, ...]]):
+        self.order = order
+        self.counts: Dict[Tuple[str, ...], Counter] = defaultdict(Counter)
+        token_seqs = list(token_seqs)
+        for seq in token_seqs:
+            for k in range(order - 1, len(seq)):
+                context = tuple(seq[k - order + 1 : k])
+                self.counts[context][seq[k]] += 1
+        self.backoff: Optional["NGramCounter"] = (
+            NGramCounter(order - 1, token_seqs) if order > 1 else None
+        )
+
+    @property
+    def ngrams(self) -> set:
+        return {ctx + (w,) for ctx, c in self.counts.items() for w in c}
+
+    def items(self):
+        return self.counts.items()
+
+    def __getitem__(self, context):
+        return self.counts[context]
+
+
+class NGramModel:
+    """Katz-backoff model over an :class:`NGramCounter` or a parsed ARPA file.
+
+    ``prob`` maps full n-gram tuples to log10 probabilities; ``prob_bo``
+    maps (n-1)-contexts to log10 backoff weights alpha (``ngram.py:114-254``).
+    """
+
+    def __init__(self, source, config: NGramConfig = NGramConfig()):
+        self.config = config
+        self.order = source.order
+        if isinstance(source, NGramCounter):
+            self.prob: Dict[Tuple[str, ...], float] = {}
+            self.prob_bo: Dict[Tuple[str, ...], float] = {}
+            self._discounted: Dict[Tuple[str, ...], Dict[str, float]] = {}
+            self._estimate(source)
+            if self.order > 1:
+                self.backoff = NGramModel(source.backoff, config)
+                self._estimate_alpha()
+            else:
+                self.backoff = None
+        elif isinstance(source, NGramModelARPA):
+            self.prob = dict(source.prob)
+            if self.order > 1:
+                self.backoff = NGramModel(source.backoff, config)
+                # ARPA stores the alpha of n-grams on the (n-1)-gram lines
+                self.prob_bo = dict(source.backoff.prob_bo)
+            else:
+                self.backoff = None
+                self.prob_bo = {}
+        else:
+            raise TypeError(f"cannot build NGramModel from {type(source)!r}")
+
+    # -- estimation ---------------------------------------------------------
+
+    def _estimate(self, counter: NGramCounter) -> None:
+        """Fixed-discount probabilities ``d * c / sum(c)``
+        (``ngram.py:177-183``) in log10 (``ngram.py:150-162``)."""
+        discount = self.config.discount
+        for context, word_counts in counter.items():
+            total = float(sum(word_counts.values()))
+            dist = {
+                w: discount * cnt / total for w, cnt in word_counts.items() if cnt > 0
+            }
+            if dist:
+                self._discounted[context] = dist
+        for context, dist in self._discounted.items():
+            for w, p in dist.items():
+                self.prob[context + (w,)] = math.log10(p) if p > 0 else NEG_INF
+
+    def _estimate_alpha(self) -> None:
+        """Backoff weights ``alpha(context) = beta / (1 - sum of backoff mass
+        of seen words)`` (``ngram.py:164-175``)."""
+        assert self.backoff is not None
+        for context, dist in self._discounted.items():
+            beta = 1.0 - sum(dist.values())
+            seen_backoff_mass = 0.0
+            for w in dist:
+                seen_backoff_mass += self.backoff._discounted.get(context[1:], {}).get(
+                    w, 0.0
+                )
+            alpha = beta / (1.0 - seen_backoff_mass)
+            self.prob_bo[context] = math.log10(alpha) if alpha > 0 else NEG_INF
+
+    # -- scoring ------------------------------------------------------------
+
+    def _log_alpha(self, context: Tuple[str, ...]) -> float:
+        return self.prob_bo.get(context, 0.0)
+
+    def logprob(self, word: str, context: Tuple[str, ...]) -> float:
+        """log10 P(word | context) with Katz backoff (``ngram.py:228-241``)."""
+        ngram = context + (word,)
+        if ngram in self.prob:
+            return self.prob[ngram]
+        if self.order == 1:
+            # unseen unigram: the reference raises KeyError; return the
+            # sentinel instead so decoding over open vocabularies is defined
+            return self.prob.get(ngram, NEG_INF)
+        return self._log_alpha(context) + self.backoff.logprob(word, context[1:])
+
+    def calc_prob(self, sentence: Sequence[str]) -> float:
+        """Sentence log10-probability (``ngram.py:243-248``)."""
+        total = 0.0
+        for k in range(self.order - 1, len(sentence)):
+            total += self.logprob(sentence[k], tuple(sentence[k - self.order + 1 : k]))
+        return total
+
+    def calc_ppl(self, sentence: Sequence[str]) -> float:
+        """Perplexity ``10^(-logP/len)`` (``ngram.py:250-254``)."""
+        return math.pow(10.0, -self.calc_prob(sentence) / len(sentence))
+
+    # -- device export ------------------------------------------------------
+
+    def vocabulary(self) -> List[str]:
+        words = set()
+        model = self
+        while model is not None:
+            for ngram in model.prob:
+                words.update(ngram)
+            model = model.backoff
+        return sorted(words)
+
+    def score_table(self, words: Sequence[str]):
+        """Dense bigram score matrix ``S[i, j] = log10 P(words[j] | words[i])``
+        (with backoff applied) for device-side LM-weighted Viterbi decoding.
+        Requires order >= 2."""
+        import numpy as np
+
+        if self.order < 2:
+            raise ValueError("score_table requires a bigram or higher model")
+        model = self
+        while model.order > 2:
+            model = model.backoff
+        table = np.empty((len(words), len(words)), dtype=np.float64)
+        for i, wi in enumerate(words):
+            for j, wj in enumerate(words):
+                table[i, j] = model.logprob(wj, (wi,))
+        return table
+
+
+class NGramModelARPA:
+    """ARPA text format serializer/parser (``ngram.py:256-378``): the
+    ``\\data\\`` header with per-order counts, ``\\N-grams:`` sections of
+    ``log10prob <tab> w1 .. wN [<tab> log10alpha]`` lines, and ``\\end\\``."""
+
+    DATA = "\\data\\"
+    END = "\\end\\"
+    _count_re = re.compile(r"ngram (\d+)=(\d+)")
+    _section_re = re.compile(r"\\(\d+)-grams:")
+
+    def __init__(self):
+        self.order = 0
+        self.prob: Dict[Tuple[str, ...], float] = {}
+        self.prob_bo: Dict[Tuple[str, ...], float] = {}
+        self.backoff: Optional["NGramModelARPA"] = None
+
+    # -- write --------------------------------------------------------------
+
+    def _from_model(self, model: NGramModel) -> None:
+        self.order = model.order
+        self.prob = dict(model.prob)
+        if model.order > 1:
+            self.backoff = NGramModelARPA()
+            self.backoff._from_model(model.backoff)
+            self.backoff.prob_bo = dict(model.prob_bo)
+        else:
+            self.backoff = None
+
+    def _levels(self) -> List["NGramModelARPA"]:
+        """Orders 1..N ascending."""
+        levels = []
+        node = self
+        while node is not None:
+            levels.append(node)
+            node = node.backoff
+        return levels[::-1]
+
+    def _render(self) -> str:
+        lines = ["", self.DATA]
+        levels = self._levels()
+        for lvl in levels:
+            lines.append(f"ngram {lvl.order}={len(lvl.prob)}")
+        for lvl in levels:
+            lines.append("")
+            lines.append(f"\\{lvl.order}-grams:")
+            for ngram, p in lvl.prob.items():
+                line = f"{p}\t{' '.join(ngram)}"
+                if ngram in lvl.prob_bo:
+                    line += f"\t{lvl.prob_bo[ngram]}"
+                lines.append(line)
+        lines += ["", self.END, ""]
+        return "\n".join(lines)
+
+    def save(self, model: NGramModel, filename: str) -> None:
+        self._from_model(model)
+        with open(filename, "w", encoding="utf-8") as fp:
+            fp.write(self._render())
+
+    # -- read ---------------------------------------------------------------
+
+    def load(self, filename: str) -> "NGramModelARPA":
+        with open(filename, "r", encoding="utf-8") as fp:
+            lines = [ln.strip() for ln in fp]
+
+        in_data = False
+        orders: List[int] = []
+        for ln in lines:
+            if not ln:
+                continue
+            if ln == self.DATA:
+                in_data = True
+            elif in_data:
+                m = self._count_re.match(ln)
+                if m:
+                    orders.append(int(m.group(1)))
+                else:
+                    break
+        if not orders:
+            raise ValueError(f"{filename}: no \\data\\ section found")
+        self.order = max(orders)
+
+        # build the backoff chain: self is the highest order
+        by_order: Dict[int, NGramModelARPA] = {self.order: self}
+        node = self
+        for order in range(self.order - 1, 0, -1):
+            child = NGramModelARPA()
+            child.order = order
+            node.backoff = child
+            by_order[order] = child
+            node = child
+
+        current: Optional[NGramModelARPA] = None
+        current_n = 0
+        for ln in lines:
+            if not ln or ln == self.DATA or self._count_re.match(ln):
+                continue
+            sec = self._section_re.match(ln)
+            if sec:
+                current_n = int(sec.group(1))
+                current = by_order.get(current_n)
+                if current is None:
+                    raise ValueError(f"{filename}: unexpected section {ln!r}")
+                continue
+            if ln == self.END:
+                break
+            if current is None:
+                continue
+            parts = ln.split()
+            if len(parts) < current_n + 1:
+                raise ValueError(f"{filename}: malformed n-gram line {ln!r}")
+            p = float(parts[0])
+            ngram = tuple(parts[1 : current_n + 1])
+            current.prob[ngram] = p
+            if len(parts) >= current_n + 2:
+                current.prob_bo[ngram] = float(parts[current_n + 1])
+        return self
