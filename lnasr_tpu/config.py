@@ -37,6 +37,16 @@ class MFCCConfig:
     # duplicates the *second* feature row, ``lnasr/mfcc.py:162-172``).
     # "standard" uses delta[0] = features[1] - features[0] instead.
     delta_mode: str = "compat"
+    # Floor for the per-frame total power before the log-energy feature.
+    # 0.0 reproduces the reference exactly (log(0) = -inf on digital
+    # silence, ``mfcc.py:159``); recognizers should set a small positive
+    # floor so silent frames stay finite.
+    energy_floor: float = 0.0
+    # Per-utterance cepstral mean subtraction (``mfcc.py:151,156``). On by
+    # default for reference parity; turn off for recognition pipelines
+    # where training and decoding see different utterance contexts
+    # (isolated-word training vs connected decoding) or for streaming.
+    mean_norm: bool = True
 
     @property
     def frame_len(self) -> int:

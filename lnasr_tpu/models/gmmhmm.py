@@ -225,6 +225,48 @@ class GMMHMM(HMM):
             self.cov = jnp.broadcast_to(jnp.eye(d, dtype=dtype), (n, m, d, d))
         return self
 
+    def init_left_to_right(self, obs, key: Optional[jax.Array] = None,
+                           self_loop: float = 0.5):
+        """Left-to-right (Bakis) initialization for word/phone unit models:
+        upper-bidiagonal transitions (stay/advance), entry pinned to state
+        0, and means seeded by uniform time-segmentation of the training
+        frames — the standard isolated-unit bootstrap that the reference
+        lacks entirely."""
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        obs = jnp.asarray(obs, self.dtype)
+        if obs.ndim == 3:
+            obs = obs.reshape(-1, obs.shape[-1])
+        n, m, d, dtype = self.n, self.m, self.d, self.dtype
+        a = np.full((n, n), -np.inf)
+        for i in range(n - 1):
+            a[i, i] = np.log(self_loop)
+            a[i, i + 1] = np.log(1.0 - self_loop)
+        a[n - 1, n - 1] = 0.0  # exit handled by the decoding graph
+        self.log_a = jnp.asarray(a, dtype)
+        pi = np.full(n, -np.inf)
+        pi[0] = 0.0
+        self.log_pi = jnp.asarray(pi, dtype)
+        self.log_w = jnp.full((n, m), -np.log(m), dtype)
+        # uniform segmentation: state i owns the i-th time slice
+        t_total = obs.shape[0]
+        seg = np.array_split(np.arange(t_total), n)
+        keys = jax.random.split(key, n)
+        mus = []
+        for i, idx in enumerate(seg):
+            if len(idx) == 0:
+                idx = np.arange(t_total)
+            pick = jax.random.choice(keys[i], jnp.asarray(idx), (m,),
+                                     replace=len(idx) < m)
+            mus.append(obs[pick])
+        self.mu = jnp.stack(mus)
+        var = jnp.maximum(jnp.var(obs, axis=0), self.config.var_floor)
+        if self.config.cov_type == "diag":
+            self.cov = jnp.broadcast_to(var, (n, m, d)).astype(dtype)
+        else:
+            self.cov = jnp.broadcast_to(jnp.diag(var), (n, m, d, d)).astype(dtype)
+        return self
+
     def init_from_data(self, obs, key: Optional[jax.Array] = None):
         """Data-driven initialization: means sampled from real frames,
         covariance from the global feature variance, uniform A/pi/w.

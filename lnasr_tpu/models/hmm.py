@@ -204,6 +204,11 @@ class HMM:
             log_a = np.log(trans / trans.sum(axis=1, keepdims=True))
             log_b = np.log(emit / emit.sum(axis=1, keepdims=True))
             log_pi = np.log(init / init.sum())
+        # states with zero outgoing counts are unreachable: 0/0 would give
+        # NaN rows that poison the max/argmax trellis — log(0) is correct
+        log_a[np.isnan(log_a)] = -np.inf
+        log_b[np.isnan(log_b)] = -np.inf
+        log_pi[np.isnan(log_pi)] = -np.inf
         model = cls(trans.shape[0], emit.shape[1], dtype=dtype)
         model.log_a = jnp.asarray(log_a, dtype)
         model.log_b = jnp.asarray(log_b, dtype)

@@ -106,13 +106,17 @@ def mfcc_features(
     mel_energy = power @ fbank.T  # (T, n_mels)
     mel_energy = jnp.where(mel_energy == 0, jnp.asarray(_EPS, dtype), mel_energy)
     cepstrum = 20.0 * jnp.log10(mel_energy)
-    cepstrum = cepstrum - (_masked_mean(cepstrum, mask) + 1e-8)
+    if config.mean_norm:
+        cepstrum = cepstrum - (_masked_mean(cepstrum, mask) + 1e-8)
     dct_m = jnp.asarray(dct2_ortho_matrix(config.n_mels), dtype=dtype)
     cepstrum = cepstrum @ dct_m.T
 
     feats = cepstrum[:, 1 : 1 + config.n_ceps]
-    feats = feats - (_masked_mean(feats, mask) + 1e-8)
+    if config.mean_norm:
+        feats = feats - (_masked_mean(feats, mask) + 1e-8)
     frame_energy = jnp.sum(power, axis=1)
+    if config.energy_floor > 0.0:
+        frame_energy = jnp.maximum(frame_energy, config.energy_floor)
     if length is not None:
         # padded frames have zero power; keep the log finite there
         frame_energy = jnp.where(mask, frame_energy, 1.0)

@@ -1,0 +1,211 @@
+"""The recognizer: VAD -> MFCC -> composed lexicon+LM Viterbi -> text.
+
+Implements end-to-end what the reference stubs out
+(``lnasr/recognizer.py:46-48``). Pipeline per utterance:
+
+1. optional VAD segmentation (any detector from :mod:`lnasr_tpu.vad`),
+2. MFCC features per speech segment (jit-compiled, batched),
+3. one dense Viterbi over the lexicon+LM-composed word graph per segment
+   (:mod:`lnasr_tpu.models.decoder`),
+4. text assembly.
+
+The acoustic model is a set of per-unit GMM-HMMs (whole-word or phone
+units per the lexicon); ``train_unit_models`` provides the isolated-unit
+EM bootstrap (left-to-right init + batched Baum-Welch over the unit's
+example utterances).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, List, Mapping, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lnasr_tpu.config import GMMHMMConfig, MFCCConfig
+from lnasr_tpu.models.decoder import DecoderConfig, DecodingGraph
+from lnasr_tpu.models.gmmhmm import GMMHMM
+from lnasr_tpu.models.lexicon import Lexicon
+from lnasr_tpu.models.mfcc import MFCC
+from lnasr_tpu.models.ngram import NGramModel, NGramModelARPA
+
+
+class AcousticModel:
+    """MFCC frontend + per-unit GMM-HMMs.
+
+    The reference's ``AcousticModel`` is a single hard-coded-topology
+    GMM-HMM loaded from HDF5 (``recognizer.py:20-26``); here the model is a
+    unit inventory. ``load``/``save`` use one HDF5 file per unit in a
+    directory, each file reference-format-compatible.
+    """
+
+    def __init__(
+        self,
+        unit_models: Optional[Mapping[str, GMMHMM]] = None,
+        mfcc_config: MFCCConfig = MFCCConfig(),
+        dtype=jnp.float32,
+    ):
+        self.mfcc = MFCC(mfcc_config, dtype=dtype)
+        self.units: Dict[str, GMMHMM] = dict(unit_models or {})
+        self.dtype = dtype
+
+    @classmethod
+    def load(cls, directory: str, config: GMMHMMConfig,
+             mfcc_config: MFCCConfig = MFCCConfig(), dtype=jnp.float32):
+        units = {}
+        for name in sorted(os.listdir(directory)):
+            if name.endswith(".hdf5"):
+                unit = name[: -len(".hdf5")]
+                units[unit] = GMMHMM(config, dtype=dtype).load(
+                    os.path.join(directory, name)
+                )
+        return cls(units, mfcc_config, dtype)
+
+    def save(self, directory: str) -> None:
+        os.makedirs(directory, exist_ok=True)
+        for unit, model in self.units.items():
+            model.save(os.path.join(directory, f"{unit}.hdf5"))
+
+    def features(self, audio) -> np.ndarray:
+        return np.asarray(self.mfcc(np.asarray(audio)).features)
+
+
+class LanguageModel:
+    """n-gram LM wrapper (mirrors ``recognizer.py:28-32``: built from an
+    ARPA file)."""
+
+    def __init__(self, source):
+        if isinstance(source, NGramModel):
+            self.ngram = source
+        else:
+            self.ngram = NGramModel(NGramModelARPA().load(source))
+
+
+def segment_speech(
+    flags: np.ndarray,
+    frame_len: int,
+    min_gap_frames: int = 10,
+    min_len_frames: int = 5,
+    pad_frames: int = 2,
+) -> List[Tuple[int, int]]:
+    """Turn per-frame VAD flags into sample-range speech segments: close
+    gaps shorter than ``min_gap_frames``, drop bursts shorter than
+    ``min_len_frames``, pad the edges."""
+    speech = np.asarray(flags) > 0
+    if not speech.any():
+        return []
+    edges = np.flatnonzero(np.diff(np.concatenate([[0], speech.astype(int), [0]])))
+    runs = list(zip(edges[::2], edges[1::2]))
+    merged: List[List[int]] = []
+    for a, b in runs:
+        if merged and a - merged[-1][1] < min_gap_frames:
+            merged[-1][1] = b
+        else:
+            merged.append([a, b])
+    out = []
+    n = len(speech)
+    for a, b in merged:
+        if b - a < min_len_frames:
+            continue
+        a = max(0, a - pad_frames)
+        b = min(n, b + pad_frames)
+        out.append((a * frame_len, b * frame_len))
+    return out
+
+
+@dataclasses.dataclass
+class SegmentResult:
+    start_s: float
+    end_s: float
+    words: List[str]
+    score: float
+
+
+class Recognizer:
+    """Composable recognizer (the reference's dict-driven constructor takes
+    ``{'am': ..., 'lm': ...}`` file paths, ``recognizer.py:37-44``; here the
+    components are first-class objects and ``recognize`` actually works)."""
+
+    def __init__(
+        self,
+        am: AcousticModel,
+        lexicon: Lexicon,
+        lm: Optional[LanguageModel] = None,
+        vad=None,
+        decoder_config: DecoderConfig = DecoderConfig(),
+    ):
+        self.am = am
+        self.lexicon = lexicon
+        self.lm = lm
+        self.vad = vad
+        # a unit named "<sil>" in the acoustic model becomes the decoder's
+        # background model (decodes silence between words, emits no text)
+        silence = am.units.get(DecodingGraph.SILENCE)
+        self.graph = DecodingGraph.build(
+            lexicon,
+            am.units,
+            lm.ngram if lm is not None else None,
+            decoder_config,
+            silence_model=silence,
+            dtype=am.dtype,
+        )
+
+    def recognize_segments(self, audio) -> List[SegmentResult]:
+        audio = np.asarray(audio)
+        if self.vad is not None:
+            # streaming detectors carry state across calls; recognition of a
+            # fresh utterance must not depend on the previous one
+            if hasattr(self.vad, "reset"):
+                self.vad.reset()
+            flags = self.vad.process(audio)
+            frame_len = getattr(self.vad, "FRAME_LEN", 160)
+            segments = segment_speech(flags, frame_len)
+        else:
+            segments = [(0, len(audio))]
+        results = []
+        for a, b in segments:
+            feats = self.am.features(audio[a:b])
+            words, _, score = self.graph.decode(feats)
+            results.append(
+                SegmentResult(start_s=a / 16000.0, end_s=b / 16000.0,
+                              words=words, score=score)
+            )
+        return results
+
+    def recognize(self, audio) -> str:
+        """Audio in, text out — the method the reference never implemented
+        (``recognizer.py:46-48``)."""
+        segments = self.recognize_segments(audio)
+        return " ".join(w for seg in segments for w in seg.words)
+
+
+def train_unit_models(
+    examples: Mapping[str, Sequence[np.ndarray]],
+    config: GMMHMMConfig,
+    iters: int = 10,
+    seed: int = 0,
+    dtype=jnp.float32,
+    verbose: bool = False,
+) -> Dict[str, GMMHMM]:
+    """Isolated-unit training: for each unit, left-to-right init from its
+    examples and batched Baum-Welch over all of them (padded to the longest
+    with masks — the data-parallel EM path)."""
+    models: Dict[str, GMMHMM] = {}
+    for i, (unit, obs_list) in enumerate(sorted(examples.items())):
+        model = GMMHMM(config, dtype=dtype)
+        all_frames = np.concatenate([np.asarray(o) for o in obs_list], axis=0)
+        model.init_left_to_right(all_frames, jax.random.PRNGKey(seed + i))
+        t_max = max(o.shape[0] for o in obs_list)
+        batch = np.zeros((len(obs_list), t_max, config.dim), dtype=np.float64)
+        mask = np.zeros((len(obs_list), t_max), dtype=bool)
+        for j, o in enumerate(obs_list):
+            batch[j, : o.shape[0]] = o
+            mask[j, : o.shape[0]] = True
+        history = model.train(batch, iters=iters, mask=mask)
+        if verbose:
+            print(f"unit {unit!r}: loglik {history[0]:.1f} -> {history[-1]:.1f}")
+        models[unit] = model
+    return models

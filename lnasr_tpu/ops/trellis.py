@@ -94,6 +94,7 @@ def viterbi_scan(
     log_a: jax.Array,
     log_b: jax.Array,
     mask: Optional[jax.Array] = None,
+    log_final: Optional[jax.Array] = None,
 ) -> ViterbiResult:
     """Max-plus trellis with device-resident backpointers and an in-``jit``
     backtrace (replaces ``lnasr/hmm.py:133-172``; only the final path ever
@@ -102,6 +103,11 @@ def viterbi_scan(
     Masked steps use the identity operator (``v`` unchanged, backpointer
     ``j -> j``), so the decoded prefix matches the unpadded sequence and the
     padded tail repeats the last valid state.
+
+    ``log_final`` (N,) adds per-state termination weights before the final
+    argmax (used by the word-graph decoder for end-of-sentence LM scores
+    and to restrict endings to word-final states); the reported ``score``
+    includes it.
     """
     t, n = log_b.shape
     v0 = log_pi + log_b[0]
@@ -121,7 +127,8 @@ def viterbi_scan(
     scores = jnp.concatenate([v0[None], vs], axis=0)
     backptr = jnp.concatenate([jnp.zeros((1, n), jnp.int32), bts], axis=0)
 
-    last_state = jnp.argmax(v_last).astype(jnp.int32)
+    v_final = v_last if log_final is None else v_last + log_final
+    last_state = jnp.argmax(v_final).astype(jnp.int32)
 
     def backstep(state_next, bt_row):
         # state_next = path[t+1]; bt_row = backptr[t+1]; emits path[t].
@@ -130,7 +137,7 @@ def viterbi_scan(
 
     _, head = jax.lax.scan(backstep, last_state, backptr[1:], reverse=True)
     path = jnp.concatenate([head, last_state[None]], axis=0)
-    return ViterbiResult(scores=scores, backptr=backptr, path=path, score=jnp.max(v_last))
+    return ViterbiResult(scores=scores, backptr=backptr, path=path, score=jnp.max(v_final))
 
 
 def forward_assoc(

@@ -1,0 +1,126 @@
+"""Multi-device paths on the 8-device virtual CPU mesh: data-parallel EM
+equals the single-chip result, sequence-parallel forward equals the scan."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lnasr_tpu.config import GMMHMMConfig, MeshConfig
+from lnasr_tpu.models.gmmhmm import GMMHMM, gmmhmm_em_step
+from lnasr_tpu.models.hmm import HMM, em_step
+from lnasr_tpu.ops.trellis import forward_scan
+from lnasr_tpu.parallel import (
+    forward_seq_parallel,
+    make_mesh,
+    mesh_shape_for,
+    train_data_parallel,
+)
+
+requires_multidevice = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 (virtual) devices"
+)
+
+
+def test_mesh_shape_inference():
+    assert mesh_shape_for(8).shape == (8, 1, 1)
+    assert mesh_shape_for(8, seq=2).shape == (4, 2, 1)
+    assert mesh_shape_for(8, data=2, seq=2, model=2).shape == (2, 2, 2)
+    with pytest.raises(ValueError):
+        mesh_shape_for(8, seq=3)
+
+
+@requires_multidevice
+def test_dp_gmmhmm_matches_single_chip():
+    rng = np.random.default_rng(0)
+    cfg = GMMHMMConfig(n_states=3, n_mix=2, dim=4)
+    obs = rng.normal(size=(8, 20, 4))
+    mask = np.ones((8, 20), bool)
+
+    single = GMMHMM(cfg, dtype=jnp.float64).reset("random", jax.random.PRNGKey(1))
+    params0 = single.params
+    p_single, ll_single = gmmhmm_em_step(
+        params0, jnp.asarray(obs), jnp.asarray(mask), cov_type="diag"
+    )
+
+    mesh = make_mesh(mesh_shape_for(8))
+    sharded = GMMHMM(cfg, dtype=jnp.float64).reset("random", jax.random.PRNGKey(1))
+    hist = train_data_parallel(sharded, obs, mask, mesh, iters=1)
+
+    np.testing.assert_allclose(hist[0], float(ll_single), rtol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(sharded.mu), np.asarray(p_single.mu), rtol=1e-9, atol=1e-11
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded.log_a), np.asarray(p_single.log_a), rtol=1e-8, atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded.cov), np.asarray(p_single.cov), rtol=1e-8, atol=1e-10
+    )
+
+
+@requires_multidevice
+def test_dp_hmm_matches_single_chip():
+    rng = np.random.default_rng(2)
+    obs = rng.integers(0, 5, size=(16, 30))
+    mask = np.ones((16, 30), bool)
+
+    single = HMM(3, 5, dtype=jnp.float64).reset("random", jax.random.PRNGKey(3))
+    p_single, ll_single = em_step(single.params, jnp.asarray(obs), jnp.asarray(mask))
+
+    mesh = make_mesh(mesh_shape_for(8))
+    sharded = HMM(3, 5, dtype=jnp.float64).reset("random", jax.random.PRNGKey(3))
+    hist = train_data_parallel(sharded, obs, mask, mesh, iters=1)
+
+    np.testing.assert_allclose(hist[0], float(ll_single), rtol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(sharded.log_a), np.asarray(p_single.log_a), rtol=1e-8, atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded.log_b), np.asarray(p_single.log_b), rtol=1e-8, atol=1e-10
+    )
+
+
+@requires_multidevice
+def test_dp_multi_iteration_improves():
+    rng = np.random.default_rng(4)
+    cfg = GMMHMMConfig(n_states=2, n_mix=2, dim=3)
+    obs = rng.normal(size=(8, 25, 3)) + rng.normal(size=(8, 1, 3))
+    mask = np.ones((8, 25), bool)
+    mesh = make_mesh(mesh_shape_for(8))
+    model = GMMHMM(cfg, dtype=jnp.float64)
+    model.init_from_data(obs.reshape(-1, 3), jax.random.PRNGKey(5))
+    hist = train_data_parallel(model, obs, mask, mesh, iters=8)
+    assert hist[-1] > hist[0]
+    assert np.all(np.isfinite(hist))
+
+
+@requires_multidevice
+@pytest.mark.parametrize("seq", [2, 4, 8])
+def test_seq_parallel_forward(seq):
+    rng = np.random.default_rng(seq)
+    n, t = 5, 64
+    log_a = np.log(rng.dirichlet(np.ones(n), size=n))
+    log_pi = np.log(rng.dirichlet(np.ones(n)))
+    log_b = rng.normal(size=(t, n))
+
+    ref = forward_scan(jnp.asarray(log_pi), jnp.asarray(log_a), jnp.asarray(log_b))
+    mesh = make_mesh(mesh_shape_for(8, data=8 // seq, seq=seq))
+    alpha, loglik = forward_seq_parallel(
+        jnp.asarray(log_pi), jnp.asarray(log_a), jnp.asarray(log_b), mesh
+    )
+    np.testing.assert_allclose(np.asarray(alpha), np.asarray(ref.alpha), rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(float(loglik), float(ref.loglik), rtol=1e-12)
+
+
+@requires_multidevice
+def test_mesh_degrades_to_single_device():
+    """The same sharded code must run on a 1-device mesh."""
+    rng = np.random.default_rng(7)
+    cfg = GMMHMMConfig(n_states=2, n_mix=1, dim=3)
+    obs = rng.normal(size=(4, 10, 3))
+    mask = np.ones((4, 10), bool)
+    mesh = make_mesh(MeshConfig(1, 1, 1), devices=jax.devices()[:1])
+    model = GMMHMM(cfg, dtype=jnp.float64).reset("random", jax.random.PRNGKey(8))
+    hist = train_data_parallel(model, obs, mask, mesh, iters=2)
+    assert np.all(np.isfinite(hist))

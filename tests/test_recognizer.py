@@ -1,0 +1,142 @@
+"""Full recognizer: audio -> VAD -> MFCC -> composed Viterbi -> text.
+
+This is BASELINE.md config 5 (the flow the reference designed but never
+implemented): synthesize distinguishable 'words' as audio, train per-word
+GMM-HMMs on their MFCCs, then recognize unseen utterances and score WER.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from lnasr_tpu.config import GMMHMMConfig, MFCCConfig
+from lnasr_tpu.models.decoder import DecoderConfig
+from lnasr_tpu.models.lexicon import Lexicon
+from lnasr_tpu.models.ngram import NGramCounter, NGramModel, Tokenizer
+from lnasr_tpu.models.recognizer import (
+    AcousticModel,
+    LanguageModel,
+    Recognizer,
+    segment_speech,
+    train_unit_models,
+)
+from lnasr_tpu.utils.metrics import wer
+
+SR = 16000
+WORD_F0 = {"low": 220.0, "mid": 560.0, "high": 1400.0}
+
+
+def _word_audio(word: str, rng, dur: float = 0.35) -> np.ndarray:
+    """A 'word' = harmonic tone burst at a word-specific F0 with an AM envelope."""
+    n = int(SR * dur)
+    t = np.arange(n) / SR
+    f0 = WORD_F0[word] * (1.0 + 0.01 * rng.normal())
+    sig = sum(np.sin(2 * np.pi * k * f0 * t + rng.uniform(0, 2 * np.pi)) / k
+              for k in range(1, 4))
+    env = np.hanning(n)
+    noise = rng.normal(0, 0.01, n)
+    x = (sig * env * 0.3 + noise) * 12000
+    return np.clip(x, -32768, 32767).astype(np.int16)
+
+
+def _gap(rng, dur: float) -> np.ndarray:
+    """Inter-word silence: a low noise floor, as real recordings have."""
+    return (rng.normal(0, 60.0, int(SR * dur))).astype(np.int16)
+
+
+def _utterance(words, rng, gap: float = 0.25) -> np.ndarray:
+    parts = [_gap(rng, gap)]
+    for w in words:
+        parts.append(_word_audio(w, rng))
+        parts.append(_gap(rng, gap))
+    return np.concatenate(parts)
+
+
+@pytest.fixture(scope="module")
+def trained_recognizer():
+    rng = np.random.default_rng(0)
+    # no utterance-level CMN: training (isolated words) and decoding
+    # (connected utterances) must see identically-defined features
+    mfcc_cfg = MFCCConfig(energy_floor=1e-10, mean_norm=False)
+    am_cfg = GMMHMMConfig(n_states=3, n_mix=2, dim=39)
+    am = AcousticModel(mfcc_config=mfcc_cfg, dtype=jnp.float64)
+
+    examples = {
+        w: [np.asarray(am.mfcc(_word_audio(w, rng)).features) for _ in range(5)]
+        for w in WORD_F0
+    }
+    # background/silence model, trained on inter-word noise-floor audio
+    examples["<sil>"] = [
+        np.asarray(am.mfcc(_gap(rng, 0.4)).features) for _ in range(4)
+    ]
+    am.units = train_unit_models(examples, am_cfg, iters=6, dtype=jnp.float64)
+
+    corpus = ["low mid high", "high mid low", "low high", "mid mid low"]
+    lm = LanguageModel(
+        NGramModel(NGramCounter(2, [Tokenizer.get_tokens(s) for s in corpus]))
+    )
+    lex = Lexicon.whole_word(list(WORD_F0))
+    rec = Recognizer(am, lex, lm, vad=None,
+                     decoder_config=DecoderConfig(lm_scale=0.5))
+    return rec, rng
+
+
+def test_isolated_word_recognition(trained_recognizer):
+    rec, rng = trained_recognizer
+    for word in WORD_F0:
+        audio = _word_audio(word, rng)
+        feats = rec.am.features(audio)
+        decoded, _, _ = rec.graph.decode(feats)
+        assert decoded[0] == word
+
+
+def test_connected_recognition_wer(trained_recognizer):
+    rec, rng = trained_recognizer
+    truth = ["low", "mid", "high", "mid", "low"]
+    audio = _utterance(truth, rng, gap=0.12)
+    hyp = rec.recognize(audio).split()
+    assert wer(truth, hyp) <= 0.2, f"hyp={hyp}"
+
+
+def test_recognizer_with_vad(trained_recognizer):
+    from lnasr_tpu.vad.native import WebRtcVad
+
+    rec, rng = trained_recognizer
+    rec_vad = Recognizer(rec.am, rec.lexicon, rec.lm, vad=WebRtcVad(mode=0),
+                         decoder_config=DecoderConfig(lm_scale=0.5))
+    truth = ["high", "low"]
+    audio = _utterance(truth, rng, gap=0.5)
+    segs = rec_vad.recognize_segments(audio)
+    assert len(segs) >= 1
+    hyp = [w for s in segs for w in s.words]
+    assert wer(truth, hyp) <= 0.5, f"hyp={hyp}, segments={[(s.start_s, s.end_s) for s in segs]}"
+    for s in segs:
+        assert 0 <= s.start_s < s.end_s <= len(audio) / SR
+
+
+def test_segment_speech_logic():
+    flags = np.array([0, 0, 1, 1, 1, 0, 1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 0, 0])
+    segs = segment_speech(flags, frame_len=160, min_gap_frames=3,
+                          min_len_frames=3, pad_frames=1)
+    # first two bursts merge (gap 1 < 3); the trailing burst is separate
+    assert len(segs) == 2
+    a, b = segs[0]
+    assert a == 160 * 1 and b == 160 * 9
+    assert segs[1] == (160 * 19, 160 * 27)
+
+
+def test_acoustic_model_save_load(tmp_path, trained_recognizer):
+    rec, rng = trained_recognizer
+    d = str(tmp_path / "am")
+    rec.am.save(d)
+    am2 = AcousticModel.load(d, GMMHMMConfig(n_states=3, n_mix=2, dim=39),
+                             dtype=jnp.float64)
+    assert set(am2.units) == set(WORD_F0) | {"<sil>"}
+    audio = _word_audio("mid", rng)
+    f = rec.am.features(audio)
+    for unit in WORD_F0:
+        np.testing.assert_allclose(
+            float(am2.units[unit].calc_prob(f)),
+            float(rec.am.units[unit].calc_prob(f)),
+            rtol=1e-9,
+        )
