@@ -23,9 +23,9 @@ import numpy as np
 
 SR = 16000
 N_STATES, N_MIX, DIM = 5, 8, 39
-BATCH = 16
+BATCH = 64
 UTT_SECONDS = 10.0
-TPU_REPS = 5
+TPU_REPS = 10
 BASELINE_SECONDS = 2.0  # audio length for the (slow) reference-style run
 
 
@@ -52,36 +52,56 @@ def _model_params(rng):
     return log_a, log_pi, log_w, mu, var
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache: repeat bench runs (and driver rounds)
+    skip recompilation, which dominates wall time on tunneled TPUs."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/lnasr_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
+
+
 def tpu_throughput() -> float:
     import jax
     import jax.numpy as jnp
 
+    _enable_compile_cache()
+
     from lnasr_tpu.config import GMMHMMConfig, MFCCConfig
     from lnasr_tpu.models.mfcc import mfcc_features
     from lnasr_tpu.ops.gaussian import gmm_emissions_diag
-    from lnasr_tpu.ops.trellis import viterbi_scan
+    from lnasr_tpu.ops.trellis_pallas import viterbi_batched
 
     dtype = jnp.float32
     cfg = MFCCConfig(energy_floor=1e-10)
     rng = np.random.default_rng(0)
     log_a, log_pi, log_w, mu, var = (jnp.asarray(p, dtype) for p in _model_params(rng))
 
-    def pipeline(signals):
+    def frontend(signals):
         def one(sig):
             feats = mfcc_features(sig, cfg, dtype=dtype).features
             log_b, _ = gmm_emissions_diag(feats, log_w, mu, var)
-            res = viterbi_scan(log_pi, log_a, log_b)
-            return res.path, res.score
+            return log_b
 
         return jax.vmap(one)(signals)
 
-    fn = jax.jit(pipeline)
+    # two jit regions: the MXU frontend, and the Pallas trellis kernel
+    # (viterbi_batched is jitted itself); fusing the pallas_call into the
+    # frontend jit gives XLA nothing extra to fuse and slows compilation
+    front = jax.jit(frontend)
+
+    def pipeline(signals):
+        return viterbi_batched(log_pi, log_a, front(signals))
+
     audio = jnp.asarray(_make_audio(BATCH, UTT_SECONDS))
-    paths, scores = fn(audio)
+    paths, scores = pipeline(audio)
     jax.block_until_ready((paths, scores))  # compile + warm up
     start = time.perf_counter()
     for _ in range(TPU_REPS):
-        out = fn(audio)
+        out = pipeline(audio)
     jax.block_until_ready(out)
     elapsed = time.perf_counter() - start
     return BATCH * UTT_SECONDS * TPU_REPS / elapsed
@@ -139,12 +159,15 @@ def baseline_throughput() -> float:
     rng = np.random.default_rng(0)
     log_a, log_pi, log_w, mu, var = _model_params(rng)
     audio = _make_audio(1, BASELINE_SECONDS)[0]
-    start = time.perf_counter()
-    feats = _reference_mfcc(audio)
-    log_b = _reference_emissions(feats, log_w, mu, var)
-    _reference_viterbi(log_pi, log_a, log_b)
-    elapsed = time.perf_counter() - start
-    return BASELINE_SECONDS / elapsed
+    best = 0.0
+    for _ in range(3):  # best-of-3: shields the CPU baseline from host noise
+        start = time.perf_counter()
+        feats = _reference_mfcc(audio)
+        log_b = _reference_emissions(feats, log_w, mu, var)
+        _reference_viterbi(log_pi, log_a, log_b)
+        elapsed = time.perf_counter() - start
+        best = max(best, BASELINE_SECONDS / elapsed)
+    return best
 
 
 def main():

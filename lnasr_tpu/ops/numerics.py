@@ -24,6 +24,13 @@ def logsumexp(x: jax.Array, axis=None, keepdims: bool = False) -> jax.Array:
     return jax.nn.logsumexp(x, axis=axis, keepdims=keepdims)
 
 
+def logsumexp2(x: jax.Array, axis=None, keepdims: bool = False) -> jax.Array:
+    """Base-2 log-sum-exp (the reference's ``lse2``, ``utils.py:181-204``):
+    log2(sum(2**x))."""
+    ln2 = jnp.log(jnp.asarray(2.0, jnp.result_type(x)))
+    return jax.nn.logsumexp(x * ln2, axis=axis, keepdims=keepdims) / ln2
+
+
 def log_matvec(log_m: jax.Array, log_v: jax.Array) -> jax.Array:
     """(log M) @ (log v) in the (+, logsumexp) semiring.
 

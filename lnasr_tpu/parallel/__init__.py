@@ -24,7 +24,8 @@ from lnasr_tpu.parallel.training import (
     make_dp_hmm_em_step,
     train_data_parallel,
 )
-from lnasr_tpu.parallel.seqscan import forward_seq_parallel
+from lnasr_tpu.parallel.seqscan import forward_seq_parallel, viterbi_seq_parallel
+from lnasr_tpu.parallel.model_parallel import make_mp_emission_fn
 
 __all__ = [
     "make_mesh",
@@ -33,4 +34,6 @@ __all__ = [
     "make_dp_hmm_em_step",
     "train_data_parallel",
     "forward_seq_parallel",
+    "viterbi_seq_parallel",
+    "make_mp_emission_fn",
 ]

@@ -8,8 +8,11 @@ both of which this framework reads and writes natively (see
 This module adds what production training needs on top (SURVEY.md §5):
 *training-state* checkpoints — parameters plus the EM iteration counter
 and loglik history — with atomic writes, periodic save, and deterministic
-resume. Orbax is used when available (sharded-array friendly for
-multi-host runs); a NumPy ``.npz`` fallback covers minimal environments.
+resume. Storage is a flat NumPy ``.npz`` of the parameter pytree: EM
+parameter sets are megabytes, replicated across hosts, and gathered to
+host anyway for the HDF5/ARPA interchange formats, so a sharded-array
+checkpoint layer (orbax) buys nothing at this scale; revisit if graph
+models ever outgrow a host.
 """
 
 from __future__ import annotations
@@ -21,11 +24,6 @@ from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import numpy as np
-
-try:  # orbax is in the image, but keep the fallback honest
-    import orbax.checkpoint as _ocp
-except Exception:  # pragma: no cover
-    _ocp = None
 
 
 def _atomic_write(path: str, write_fn) -> None:

@@ -15,6 +15,7 @@ from lnasr_tpu.parallel import (
     make_mesh,
     mesh_shape_for,
     train_data_parallel,
+    viterbi_seq_parallel,
 )
 
 requires_multidevice = pytest.mark.skipif(
@@ -111,6 +112,48 @@ def test_seq_parallel_forward(seq):
     )
     np.testing.assert_allclose(np.asarray(alpha), np.asarray(ref.alpha), rtol=1e-9, atol=1e-11)
     np.testing.assert_allclose(float(loglik), float(ref.loglik), rtol=1e-12)
+
+
+@requires_multidevice
+@pytest.mark.parametrize("seq", [2, 4])
+def test_seq_parallel_viterbi(seq):
+    from lnasr_tpu.ops.trellis import viterbi_scan
+
+    rng = np.random.default_rng(seq + 10)
+    n, t = 4, 48
+    log_a = np.log(rng.dirichlet(np.ones(n), size=n))
+    log_pi = np.log(rng.dirichlet(np.ones(n)))
+    log_b = rng.normal(size=(t, n))
+
+    ref = viterbi_scan(jnp.asarray(log_pi), jnp.asarray(log_a), jnp.asarray(log_b))
+    mesh = make_mesh(mesh_shape_for(8, data=8 // seq, seq=seq))
+    path, score = viterbi_seq_parallel(
+        jnp.asarray(log_pi), jnp.asarray(log_a), jnp.asarray(log_b), mesh
+    )
+    np.testing.assert_array_equal(np.asarray(path), np.asarray(ref.path))
+    np.testing.assert_allclose(float(score), float(ref.score), rtol=1e-12)
+
+
+@requires_multidevice
+@pytest.mark.parametrize("model_axis", [2, 8])
+def test_model_parallel_emissions(model_axis):
+    from lnasr_tpu.ops.gaussian import gmm_emissions_diag
+    from lnasr_tpu.parallel import make_mp_emission_fn
+
+    rng = np.random.default_rng(model_axis)
+    n, m, d, t = 3, 16, 6, 40
+    log_w = np.log(rng.dirichlet(np.ones(m), size=n))
+    mu = rng.normal(size=(n, m, d))
+    var = rng.uniform(0.5, 2.0, size=(n, m, d))
+    obs = rng.normal(size=(t, d))
+
+    ref, _ = gmm_emissions_diag(
+        jnp.asarray(obs), jnp.asarray(log_w), jnp.asarray(mu), jnp.asarray(var)
+    )
+    mesh = make_mesh(mesh_shape_for(8, data=8 // model_axis, model=model_axis))
+    fn = make_mp_emission_fn(mesh)
+    out = fn(jnp.asarray(obs), jnp.asarray(log_w), jnp.asarray(mu), jnp.asarray(var))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-9, atol=1e-11)
 
 
 @requires_multidevice
