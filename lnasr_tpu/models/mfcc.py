@@ -100,16 +100,17 @@ def mfcc_features(
         window = jnp.asarray(hamming_window(frame_len), dtype=dtype)
         power = power_spectrum(frames * window, config.fft_n, method="fft")
 
+    _prec = jax.lax.Precision.HIGHEST  # see ops/spectral.py: TPU f32
     fbank = jnp.asarray(
         mel_filterbank(config.n_mels, config.fft_n, config.sample_rate), dtype=dtype
     )
-    mel_energy = power @ fbank.T  # (T, n_mels)
+    mel_energy = jnp.dot(power, fbank.T, precision=_prec)  # (T, n_mels)
     mel_energy = jnp.where(mel_energy == 0, jnp.asarray(_EPS, dtype), mel_energy)
     cepstrum = 20.0 * jnp.log10(mel_energy)
     if config.mean_norm:
         cepstrum = cepstrum - (_masked_mean(cepstrum, mask) + 1e-8)
     dct_m = jnp.asarray(dct2_ortho_matrix(config.n_mels), dtype=dtype)
-    cepstrum = cepstrum @ dct_m.T
+    cepstrum = jnp.dot(cepstrum, dct_m.T, precision=_prec)
 
     feats = cepstrum[:, 1 : 1 + config.n_ceps]
     if config.mean_norm:

@@ -182,6 +182,87 @@ class Recognizer:
         return " ".join(w for seg in segments for w in seg.words)
 
 
+class StreamingRecognizer:
+    """Incremental recognition: feed arbitrary-size audio chunks; finalized
+    speech segments are decoded and returned as they close.
+
+    The host-side streaming VAD (:class:`lnasr_tpu.vad.native.WebRtcVad`
+    by default) classifies 10 ms frames as they arrive; a segment closes
+    after ``min_gap_frames`` of silence, its samples are cut with
+    ``pad_frames`` margins, and the batch decoder runs on just that
+    segment. ``flush()`` closes any open segment at end of stream.
+
+    The reference has no streaming path at all — its VADs stream but feed
+    nothing (SURVEY.md §3.6).
+    """
+
+    def __init__(self, recognizer: "Recognizer", vad=None,
+                 min_gap_frames: int = 10, min_len_frames: int = 5,
+                 pad_frames: int = 2):
+        from lnasr_tpu.vad.native import WebRtcVad
+
+        self.rec = recognizer
+        self.vad = vad if vad is not None else WebRtcVad(mode=0)
+        self.frame_len = getattr(self.vad, "FRAME_LEN", 160)
+        self.min_gap = min_gap_frames
+        self.min_len = min_len_frames
+        self.pad = pad_frames
+        self.reset()
+
+    def reset(self) -> None:
+        if hasattr(self.vad, "reset"):
+            self.vad.reset()
+        self._buffer = np.zeros(0, np.int16)
+        self._consumed_frames = 0
+        self._speech_frames: List[int] = []  # frame indices flagged speech
+        self._open_start: Optional[int] = None
+        self._last_speech: Optional[int] = None
+
+    def _cut_segment(self, start_f: int, end_f: int) -> Optional[SegmentResult]:
+        if end_f - start_f < self.min_len:
+            return None
+        a = max(0, (start_f - self.pad)) * self.frame_len
+        b = min(len(self._buffer), (end_f + self.pad) * self.frame_len)
+        feats = self.rec.am.features(self._buffer[a:b])
+        words, _, score = self.rec.graph.decode(feats)
+        return SegmentResult(start_s=a / 16000.0, end_s=b / 16000.0,
+                             words=words, score=score)
+
+    def process(self, chunk) -> List[SegmentResult]:
+        """Feed samples; returns segments finalized by this chunk."""
+        self._buffer = np.concatenate([self._buffer, np.asarray(chunk, np.int16)])
+        total_frames = len(self._buffer) // self.frame_len
+        results: List[SegmentResult] = []
+        while self._consumed_frames < total_frames:
+            f = self._consumed_frames
+            frame = self._buffer[f * self.frame_len : (f + 1) * self.frame_len]
+            flag = int(self.vad.process(frame)[0]) if hasattr(self.vad, "process") else 0
+            if flag > 0:
+                if self._open_start is None:
+                    self._open_start = f
+                self._last_speech = f
+            elif self._open_start is not None and self._last_speech is not None:
+                if f - self._last_speech >= self.min_gap:
+                    seg = self._cut_segment(self._open_start, self._last_speech + 1)
+                    if seg is not None:
+                        results.append(seg)
+                    self._open_start = None
+                    self._last_speech = None
+            self._consumed_frames += 1
+        return results
+
+    def flush(self) -> List[SegmentResult]:
+        """End of stream: close and decode any open segment."""
+        results = []
+        if self._open_start is not None and self._last_speech is not None:
+            seg = self._cut_segment(self._open_start, self._last_speech + 1)
+            if seg is not None:
+                results.append(seg)
+        self._open_start = None
+        self._last_speech = None
+        return results
+
+
 def train_unit_models(
     examples: Mapping[str, Sequence[np.ndarray]],
     config: GMMHMMConfig,

@@ -40,8 +40,15 @@ def split_frames(signal: jax.Array, frame_len: int, frame_step: int) -> jax.Arra
     """Split a 1-D (or batched ``(..., S)``) signal into overlapping frames.
 
     Returns ``(..., N, frame_len)`` with the tail zero-padded, matching
-    ``lnasr/utils.py:106-130``. The gather indices are host-side constants,
-    so XLA lowers this to a single static gather.
+    ``lnasr/utils.py:106-130``.
+
+    Implementation: overlapping frames via *strided slices* of
+    gcd(frame_len, frame_step)-sized blocks — frame t is the concatenation
+    of blocks ``t*(S/g) .. t*(S/g) + L/g - 1`` — which XLA lowers to a few
+    cheap slice/reshape ops. The naive per-frame gather was the single
+    hottest op of the MFCC pipeline on TPU (a (B, N, L) dynamic gather
+    costing more than the DFT matmuls combined); this formulation removes
+    it. A gather fallback covers degenerate block sizes.
     """
     signal_length = signal.shape[-1]
     n = num_frames(signal_length, frame_len, frame_step)
@@ -49,6 +56,20 @@ def split_frames(signal: jax.Array, frame_len: int, frame_step: int) -> jax.Arra
     if padded > signal_length:
         pad_widths = [(0, 0)] * (signal.ndim - 1) + [(0, padded - signal_length)]
         signal = jnp.pad(signal, pad_widths)
+    elif padded < signal_length:
+        signal = signal[..., :padded]
+
+    g = math.gcd(frame_len, frame_step)
+    if g >= 8:
+        stride = frame_step // g
+        parts = frame_len // g
+        blocks = signal.reshape(*signal.shape[:-1], padded // g, g)
+        cols = [
+            blocks[..., k :: stride, :][..., :n, :] for k in range(parts)
+        ]
+        frames = jnp.stack(cols, axis=-2)  # (..., N, parts, g)
+        return frames.reshape(*signal.shape[:-1], n, frame_len)
+
     idx = np.arange(frame_len)[None, :] + np.arange(n)[:, None] * frame_step
     return signal[..., idx]
 

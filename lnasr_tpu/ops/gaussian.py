@@ -49,7 +49,8 @@ def mvn_logpdf_full(x: jax.Array, mu: jax.Array, sigma: jax.Array) -> jax.Array:
     sign, logdet = jnp.linalg.slogdet(sigma)
     inv = jnp.linalg.inv(sigma)
     xc = x - mu
-    maha = jnp.einsum("ld,de,le->l", xc, inv, xc)
+    maha = jnp.einsum("ld,de,le->l", xc, inv, xc,
+                      precision=jax.lax.Precision.HIGHEST)
     return -0.5 * (d * _LOG_2PI + logdet + maha)
 
 
@@ -87,12 +88,23 @@ def diag_components_logpdf(
     mu2 = mu.reshape(-1, d)
     ivar = 1.0 / var.reshape(-1, d)
     const = -0.5 * (d * _LOG_2PI + jnp.sum(jnp.log(var.reshape(-1, d)), axis=-1))
-    quad = (
-        (obs * obs) @ ivar.T
-        - 2.0 * (obs @ (mu2 * ivar).T)
-        + jnp.sum(mu2 * mu2 * ivar, axis=-1)[None, :]
+    # One fused GEMM: stack [o^2, o, 1] against the matching component
+    # rows so the whole log-density (quadratic + linear + constant terms)
+    # is a single (T, 2D+1) x (2D+1, K) product with no epilogue. Full f32
+    # matmul precision — the quadratic terms cancel against each other, so
+    # bf16-pass matmuls (the TPU f32 default) corrupt the tails.
+    lhs = jnp.concatenate(
+        [obs * obs, obs, jnp.ones((obs.shape[0], 1), obs.dtype)], axis=1
     )
-    out = const[None, :] - 0.5 * quad
+    rhs = jnp.concatenate(
+        [
+            -0.5 * ivar,
+            mu2 * ivar,
+            (const - 0.5 * jnp.sum(mu2 * mu2 * ivar, axis=-1))[:, None],
+        ],
+        axis=1,
+    ).T  # (2D+1, K)
+    out = jnp.dot(lhs, rhs, precision=jax.lax.Precision.HIGHEST)
     return out.reshape(obs.shape[0], *comp_shape)
 
 
@@ -124,7 +136,8 @@ def gmm_emissions_full(
     _, logdet = jnp.linalg.slogdet(sig_f)
     inv = jnp.linalg.inv(sig_f)
     xc = obs[:, None, :] - mu_f[None, :, :]  # (T, NM, D)
-    maha = jnp.einsum("tkd,kde,tke->tk", xc, inv, xc)
+    maha = jnp.einsum("tkd,kde,tke->tk", xc, inv, xc,
+                      precision=jax.lax.Precision.HIGHEST)
     log_bm = (-0.5 * (d * _LOG_2PI + logdet[None, :] + maha)).reshape(
         obs.shape[0], n, m
     )

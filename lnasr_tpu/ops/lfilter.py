@@ -49,12 +49,16 @@ def affine_recurrence(mats: jax.Array, vecs: jax.Array, h0: jax.Array) -> jax.Ar
     ``mats (T, D, D)``, ``vecs (T, D)``, ``h0 (D,)`` -> ``(T, D)``. D should
     be small (filter order); cost is O(T D^3 log T) work but O(log T) depth.
     """
-    vecs = vecs.at[0].add(mats[0] @ h0)
+    prec = jax.lax.Precision.HIGHEST  # filter states: bf16 passes drift
+    vecs = vecs.at[0].add(jnp.dot(mats[0], h0, precision=prec))
 
     def combine(x, y):
         m1, v1 = x
         m2, v2 = y
-        return m2 @ m1, jnp.einsum("...ij,...j->...i", m2, v1) + v2
+        return (
+            jnp.einsum("...ij,...jk->...ik", m2, m1, precision=prec),
+            jnp.einsum("...ij,...j->...i", m2, v1, precision=prec) + v2,
+        )
 
     _, h = jax.lax.associative_scan(combine, (mats, vecs))
     return h

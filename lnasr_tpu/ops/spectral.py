@@ -80,8 +80,12 @@ def power_spectrum(frames: jax.Array, fft_n: int, method: str = "matmul") -> jax
     elif method == "matmul":
         frame_len = frames.shape[-1]
         c, s = windowed_dft_basis(frame_len, fft_n, str(frames.dtype))
-        re = frames @ jnp.asarray(c, dtype=frames.dtype)
-        im = frames @ jnp.asarray(s, dtype=frames.dtype)
+        # TPU f32 matmuls default to bfloat16 passes — fine for neural
+        # nets, ruinous for a DFT whose output feeds log10/DCT. Pin full
+        # float32 precision here; the frontend is no longer matmul-bound.
+        prec = jax.lax.Precision.HIGHEST
+        re = jnp.dot(frames, jnp.asarray(c, dtype=frames.dtype), precision=prec)
+        im = jnp.dot(frames, jnp.asarray(s, dtype=frames.dtype), precision=prec)
         return (re * re + im * im) / fft_n
     raise ValueError(f"unknown spectrum method: {method!r}")
 

@@ -125,6 +125,31 @@ def test_segment_speech_logic():
     assert segs[1] == (160 * 19, 160 * 27)
 
 
+def test_streaming_recognizer(trained_recognizer):
+    """Chunked feeding must produce the same words as batch recognition."""
+    from lnasr_tpu.models.recognizer import StreamingRecognizer
+    from lnasr_tpu.vad.native import WebRtcVad
+
+    rec, rng = trained_recognizer
+    truth = ["high", "low", "mid"]
+    audio = _utterance(truth, rng, gap=0.5)
+
+    stream = StreamingRecognizer(rec, vad=WebRtcVad(mode=0))
+    segs = []
+    chunk = 1234  # deliberately unaligned with the 160-sample frames
+    for i in range(0, len(audio), chunk):
+        segs.extend(stream.process(audio[i : i + chunk]))
+    segs.extend(stream.flush())
+
+    hyp = [w for s in segs for w in s.words]
+    assert wer(truth, hyp) <= 0.5, f"hyp={hyp}"
+    assert all(s.start_s < s.end_s for s in segs)
+    # feeding everything again after reset reproduces the result
+    stream.reset()
+    segs2 = stream.process(audio) + stream.flush()
+    assert [s.words for s in segs2] == [s.words for s in segs]
+
+
 def test_acoustic_model_save_load(tmp_path, trained_recognizer):
     rec, rng = trained_recognizer
     d = str(tmp_path / "am")
