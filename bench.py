@@ -27,6 +27,7 @@ BATCH = 64
 UTT_SECONDS = 10.0
 TPU_REPS = 10
 BASELINE_SECONDS = 2.0  # audio length for the (slow) reference-style run
+_TRIALS = 3  # best-of trials for both device and CPU timings
 
 
 def _make_audio(batch: int, seconds: float, seed: int = 0) -> np.ndarray:
@@ -65,46 +66,66 @@ def _enable_compile_cache():
 
 
 def tpu_throughput() -> float:
+    """Device throughput via the loop-difference method.
+
+    Timing individual dispatches is unreliable on tunneled TPU backends:
+    ``block_until_ready`` can return before execution completes, and every
+    dispatch/fetch pays a large RPC round trip. Instead the whole pipeline
+    runs ``n`` times inside one on-device ``lax.fori_loop`` (the input is
+    perturbed per iteration so no two trips are identical), the jit returns
+    a scalar reduction, and a host fetch of that scalar forces true
+    completion. Timing n=1 vs n=1+TPU_REPS and dividing the difference by
+    TPU_REPS cancels the fixed dispatch/fetch overhead exactly.
+    """
     import jax
     import jax.numpy as jnp
 
     _enable_compile_cache()
 
-    from lnasr_tpu.config import GMMHMMConfig, MFCCConfig
+    from lnasr_tpu.config import MFCCConfig
     from lnasr_tpu.models.mfcc import mfcc_features
     from lnasr_tpu.ops.gaussian import gmm_emissions_diag
-    from lnasr_tpu.ops.trellis_pallas import viterbi_batched
+    from lnasr_tpu.ops.trellis_pallas import viterbi_pallas
 
     dtype = jnp.float32
     cfg = MFCCConfig(energy_floor=1e-10)
     rng = np.random.default_rng(0)
     log_a, log_pi, log_w, mu, var = (jnp.asarray(p, dtype) for p in _model_params(rng))
 
-    def frontend(signals):
+    def pipeline_once(signals):
         def one(sig):
             feats = mfcc_features(sig, cfg, dtype=dtype).features
             log_b, _ = gmm_emissions_diag(feats, log_w, mu, var)
             return log_b
 
-        return jax.vmap(one)(signals)
+        log_b = jax.vmap(one)(signals)
+        return viterbi_pallas(log_pi, log_a, log_b)
 
-    # two jit regions: the MXU frontend, and the Pallas trellis kernel
-    # (viterbi_batched is jitted itself); fusing the pallas_call into the
-    # frontend jit gives XLA nothing extra to fuse and slows compilation
-    front = jax.jit(frontend)
+    def make_loop(nreps: int):
+        @jax.jit
+        def run(signals):
+            def body(i, acc):
+                paths, scores = pipeline_once(signals + i.astype(dtype) * 1e-6)
+                return acc + scores.sum() + paths.sum().astype(dtype)
 
-    def pipeline(signals):
-        return viterbi_batched(log_pi, log_a, front(signals))
+            return jax.lax.fori_loop(0, nreps, body, jnp.asarray(0.0, dtype))
 
-    audio = jnp.asarray(_make_audio(BATCH, UTT_SECONDS))
-    paths, scores = pipeline(audio)
-    jax.block_until_ready((paths, scores))  # compile + warm up
-    start = time.perf_counter()
-    for _ in range(TPU_REPS):
-        out = pipeline(audio)
-    jax.block_until_ready(out)
-    elapsed = time.perf_counter() - start
-    return BATCH * UTT_SECONDS * TPU_REPS / elapsed
+        return run
+
+    audio = jnp.asarray(_make_audio(BATCH, UTT_SECONDS)).astype(dtype)
+    run_1, run_n = make_loop(1), make_loop(1 + TPU_REPS)
+    np.asarray(run_1(audio)), np.asarray(run_n(audio))  # compile + warm up
+
+    def timed(fn) -> float:
+        best = float("inf")
+        for _ in range(_TRIALS):
+            start = time.perf_counter()
+            np.asarray(fn(audio))  # fetch forces real completion
+            best = min(best, time.perf_counter() - start)
+        return best
+
+    per_call = (timed(run_n) - timed(run_1)) / TPU_REPS
+    return BATCH * UTT_SECONDS / per_call
 
 
 # ---------------------------------------------------------------------------
