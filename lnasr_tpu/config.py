@@ -92,11 +92,24 @@ class GMMHMMConfig:
 
 @dataclasses.dataclass(frozen=True)
 class NGramConfig:
-    """Katz-backoff n-gram LM (order, fixed discount — ``lnasr/ngram.py:117``)."""
+    """Katz-backoff n-gram LM (``lnasr/ngram.py:114-254``).
+
+    ``smoothing`` selects the discounting scheme:
+      - ``"fixed"``: the reference's constant discount (``ngram.py:117,177-183``);
+      - ``"good-turing"``: count-dependent Katz/Good-Turing discounts — the
+        estimator the reference started but left unfinished
+        (``ngram.py:185-200``, marked TODO). Counts ``r <= gt_max_count`` get
+        ``d_r = (r*/r - A) / (1 - A)`` with ``r* = (r+1) N_{r+1} / N_r`` and
+        ``A = (k+1) N_{k+1} / N_1``; larger counts are undiscounted. Orders
+        whose count-of-counts are too sparse for Good-Turing fall back to the
+        fixed discount.
+    """
 
     order: int = 3
     discount: float = 0.7
     add_sentence_bounds: bool = True
+    smoothing: str = "fixed"
+    gt_max_count: int = 5
 
 
 @dataclasses.dataclass(frozen=True)

@@ -107,15 +107,62 @@ class NGramModel:
 
     # -- estimation ---------------------------------------------------------
 
+    def _gt_discounts(self, counter: NGramCounter) -> Optional[Dict[int, float]]:
+        """Katz/Good-Turing discount ratios ``d_r`` for counts ``1..k``.
+
+        Completes the estimator the reference left unfinished
+        (``ngram.py:185-200``): with count-of-counts ``N_r`` pooled over all
+        contexts at this order, ``r* = (r+1) N_{r+1} / N_r`` and
+
+            d_r = (r*/r - A) / (1 - A),   A = (k+1) N_{k+1} / N_1
+
+        so the total mass freed approximates the Good-Turing estimate of
+        unseen mass ``N_1 / total``. Returns ``None`` (caller falls back to
+        the fixed discount) when the count-of-counts are too sparse for the
+        formula to be defined — any ``N_r = 0`` for ``r <= k+1``, or
+        ``A >= 1`` — the standard Katz applicability condition. Individual
+        out-of-range ratios from non-monotone ``N_r`` (common on real
+        corpora) are clamped to 1 (no discount for that count), the usual
+        practical treatment rather than rejecting the whole order.
+        """
+        k = self.config.gt_max_count
+        nr = Counter()
+        for _, word_counts in counter.items():
+            for cnt in word_counts.values():
+                if cnt <= k + 1:
+                    nr[cnt] += 1
+        if any(nr[r] == 0 for r in range(1, k + 2)):
+            return None
+        a = (k + 1) * nr[k + 1] / nr[1]
+        if a >= 1.0:
+            return None
+        discounts = {}
+        for r in range(1, k + 1):
+            r_star = (r + 1) * nr[r + 1] / nr[r]
+            d = (r_star / r - a) / (1.0 - a)
+            discounts[r] = d if 0.0 < d <= 1.0 else 1.0
+        return discounts
+
     def _estimate(self, counter: NGramCounter) -> None:
-        """Fixed-discount probabilities ``d * c / sum(c)``
-        (``ngram.py:177-183``) in log10 (``ngram.py:150-162``)."""
-        discount = self.config.discount
+        """Discounted probabilities ``d_c * c / sum(c)`` in log10
+        (``ngram.py:150-162``): ``d_c`` is the fixed constant
+        (``ngram.py:177-183``) or the Good-Turing ratio per count."""
+        gt = (
+            self._gt_discounts(counter)
+            if self.config.smoothing == "good-turing"
+            else None
+        )
+        if self.config.smoothing not in ("fixed", "good-turing"):
+            raise ValueError(f"unknown smoothing: {self.config.smoothing!r}")
+        fixed = self.config.discount
         for context, word_counts in counter.items():
             total = float(sum(word_counts.values()))
-            dist = {
-                w: discount * cnt / total for w, cnt in word_counts.items() if cnt > 0
-            }
+            dist = {}
+            for w, cnt in word_counts.items():
+                if cnt <= 0:
+                    continue
+                d = gt.get(cnt, 1.0) if gt is not None else fixed
+                dist[w] = d * cnt / total
             if dist:
                 self._discounted[context] = dist
         for context, dist in self._discounted.items():

@@ -113,6 +113,109 @@ def test_arpa_writer_no_shared_state(tmp_path, trigram):
     assert open(p1, encoding="utf-8").read() == open(p2, encoding="utf-8").read()
 
 
+def _gt_corpus(seed=0, n_sents=400, vocab=60):
+    """Synthetic Zipf-ish corpus large enough that every count-of-counts
+    N_1..N_{k+1} at each order is non-zero (the Katz applicability
+    condition)."""
+    rng = np.random.default_rng(seed)
+    words = [f"w{i}" for i in range(vocab)]
+    p = 1.0 / np.arange(1, vocab + 1)
+    p /= p.sum()
+    return [
+        tuple([BOS] + [words[i] for i in rng.choice(vocab, size=8, p=p)] + [EOS])
+        for _ in range(n_sents)
+    ]
+
+
+def test_good_turing_discounts_defined():
+    """The GT estimator (reference's unfinished TODO, ngram.py:185-200):
+    d_r must satisfy the Katz identity d_r = (r*/r - A)/(1 - A) computed
+    independently from raw count-of-counts."""
+    tokens = _gt_corpus()
+    counter = NGramCounter(2, tokens)
+    cfg = NGramConfig(order=2, smoothing="good-turing", gt_max_count=5)
+    model = NGramModel(counter, cfg)
+    ds = model._gt_discounts(counter)
+    assert ds is not None and set(ds) == {1, 2, 3, 4, 5}
+
+    from collections import Counter as C
+
+    nr = C()
+    for _, wc in counter.items():
+        for cnt in wc.values():
+            nr[cnt] += 1
+    a = 6 * nr[6] / nr[1]
+    for r in range(1, 6):
+        r_star = (r + 1) * nr[r + 1] / nr[r]
+        d = (r_star / r - a) / (1 - a)
+        # out-of-range ratios (non-monotone N_r) are clamped to "no discount"
+        assert ds[r] == pytest.approx(d if 0.0 < d <= 1.0 else 1.0)
+        assert 0.0 < ds[r] <= 1.0
+    # probabilities use d_r: a singleton bigram gets d_1 * 1 / total
+    for ctx, wc in counter.items():
+        singles = [w for w, c in wc.items() if c == 1]
+        if singles:
+            total = sum(wc.values())
+            got = 10 ** model.prob[ctx + (singles[0],)]
+            assert got == pytest.approx(ds[1] / total)
+            break
+
+
+def test_good_turing_normalizes():
+    """sum_w P(w | ctx) over the full vocabulary must be ~1 under Katz
+    backoff with GT discounts (seen mass + alpha * unseen backoff mass)."""
+    tokens = _gt_corpus()
+    cfg = NGramConfig(order=2, smoothing="good-turing")
+    model = NGramModel(NGramCounter(2, tokens), cfg)
+    vocab = model.vocabulary()
+    for ctx in [("w0",), ("w1",), (BOS,)]:
+        total = sum(10 ** model.logprob(w, ctx) for w in vocab)
+        # unigram level itself is discounted, so a little mass (the GT
+        # unseen-word estimate) is reserved for out-of-vocabulary words
+        assert 0.9 < total <= 1.0 + 1e-9
+
+
+def test_good_turing_beats_fixed_on_heldout():
+    """GT discounts should give lower held-out perplexity than the blunt
+    0.7 constant on a corpus with a realistic count distribution."""
+    train = _gt_corpus(seed=0)
+    held = _gt_corpus(seed=1, n_sents=50)
+    counter = NGramCounter(2, train)
+    fixed = NGramModel(counter, NGramConfig(order=2, smoothing="fixed"))
+    gt = NGramModel(counter, NGramConfig(order=2, smoothing="good-turing"))
+    ppl_fixed = float(np.mean([fixed.calc_ppl(s) for s in held]))
+    ppl_gt = float(np.mean([gt.calc_ppl(s) for s in held]))
+    assert ppl_gt < ppl_fixed
+
+
+def test_good_turing_sparse_fallback():
+    """Tiny corpora violate the Katz condition (some N_r = 0): estimation
+    must fall back to the fixed discount, not crash or emit d > 1."""
+    tokens = [Tokenizer.get_tokens(s) for s in CORPUS]
+    cfg = NGramConfig(order=3, smoothing="good-turing")
+    gt = NGramModel(NGramCounter(3, tokens), cfg)
+    fixed = NGramModel(NGramCounter(3, tokens), NGramConfig(order=3))
+    sent = Tokenizer.get_tokens("我 喜欢 吃 苹果")
+    assert gt.calc_prob(sent) == pytest.approx(fixed.calc_prob(sent))
+
+
+def test_good_turing_arpa_roundtrip(tmp_path):
+    tokens = _gt_corpus()
+    cfg = NGramConfig(order=2, smoothing="good-turing")
+    model = NGramModel(NGramCounter(2, tokens), cfg)
+    path = str(tmp_path / "gt.lm")
+    NGramModelARPA().save(model, path)
+    loaded = NGramModel(NGramModelARPA().load(path))
+    sent = tokens[0]
+    assert loaded.calc_prob(sent) == pytest.approx(model.calc_prob(sent), rel=1e-12)
+
+
+def test_unknown_smoothing_rejected():
+    tokens = [Tokenizer.get_tokens(s) for s in CORPUS]
+    with pytest.raises(ValueError, match="smoothing"):
+        NGramModel(NGramCounter(2, tokens), NGramConfig(order=2, smoothing="bogus"))
+
+
 def test_score_table(trigram):
     words = ["我", "喜欢", "吃", "苹果"]
     table = trigram.score_table(words)
