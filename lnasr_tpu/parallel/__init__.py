@@ -11,7 +11,10 @@ port. Parallelism maps onto a named :class:`jax.sharding.Mesh`:
   associative (N, N) operators compose across chunks with one small
   all-gather (classical ASR's analogue of sequence parallelism);
 - ``model`` — GMM mixture components shard here when N*M*D exceeds a
-  chip (expert-parallel analogue).
+  chip (expert-parallel analogue);
+- ``stage`` — streaming pipeline parallelism: AM emission scoring of
+  chunk k overlaps the trellis recursion of chunk k-1 on the next
+  device (:mod:`lnasr_tpu.parallel.pipeline`).
 
 Collectives are emitted by XLA from ``shard_map``/``psum`` annotations and
 ride ICI within a slice, DCN across hosts (``jax.distributed.initialize``
@@ -26,8 +29,11 @@ from lnasr_tpu.parallel.training import (
 )
 from lnasr_tpu.parallel.seqscan import forward_seq_parallel, viterbi_seq_parallel
 from lnasr_tpu.parallel.model_parallel import make_mp_emission_fn
+from lnasr_tpu.parallel.pipeline import make_stage_mesh, streaming_pipeline_scores
 
 __all__ = [
+    "make_stage_mesh",
+    "streaming_pipeline_scores",
     "make_mesh",
     "mesh_shape_for",
     "make_dp_gmmhmm_em_step",

@@ -156,6 +156,63 @@ def test_model_parallel_emissions(model_axis):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-9, atol=1e-11)
 
 
+def _pipeline_fixture(seed, t=64, n=4, m=3, d=6):
+    rng = np.random.default_rng(seed)
+    log_a = np.log(rng.dirichlet(np.ones(n), size=n))
+    log_pi = np.log(rng.dirichlet(np.ones(n)))
+    log_w = np.log(rng.dirichlet(np.ones(m), size=n))
+    mu = rng.normal(size=(n, m, d))
+    var = rng.uniform(0.5, 2.0, size=(n, m, d))
+    feats = rng.normal(size=(t, d))
+    return tuple(jnp.asarray(x) for x in (log_pi, log_a, log_w, mu, var, feats))
+
+
+@requires_multidevice
+@pytest.mark.parametrize("chunk", [8, 16, 64])
+def test_pipeline_forward_matches_scan(chunk):
+    from lnasr_tpu.ops.gaussian import gmm_emissions_diag
+    from lnasr_tpu.parallel import make_stage_mesh, streaming_pipeline_scores
+
+    log_pi, log_a, log_w, mu, var, feats = _pipeline_fixture(chunk)
+    log_b, _ = gmm_emissions_diag(feats, log_w, mu, var)
+    ref = forward_scan(log_pi, log_a, log_b)
+    mesh = make_stage_mesh()
+    got = streaming_pipeline_scores(
+        log_pi, log_a, log_w, mu, var, feats, mesh, chunk=chunk
+    )
+    np.testing.assert_allclose(float(got), float(ref.loglik), rtol=1e-10)
+
+
+@requires_multidevice
+def test_pipeline_max_semiring_matches_viterbi():
+    from lnasr_tpu.ops.gaussian import gmm_emissions_diag
+    from lnasr_tpu.ops.trellis import viterbi_scan
+    from lnasr_tpu.parallel import make_stage_mesh, streaming_pipeline_scores
+
+    log_pi, log_a, log_w, mu, var, feats = _pipeline_fixture(99)
+    log_b, _ = gmm_emissions_diag(feats, log_w, mu, var)
+    ref = viterbi_scan(log_pi, log_a, log_b)
+    mesh = make_stage_mesh()
+    got = streaming_pipeline_scores(
+        log_pi, log_a, log_w, mu, var, feats, mesh, chunk=16, semiring="max"
+    )
+    np.testing.assert_allclose(float(got), float(ref.score), rtol=1e-10)
+
+
+@requires_multidevice
+def test_pipeline_rejects_bad_args():
+    from lnasr_tpu.parallel import make_stage_mesh, streaming_pipeline_scores
+
+    log_pi, log_a, log_w, mu, var, feats = _pipeline_fixture(3)
+    mesh = make_stage_mesh()
+    with pytest.raises(ValueError, match="chunk"):
+        streaming_pipeline_scores(log_pi, log_a, log_w, mu, var, feats, mesh, chunk=7)
+    with pytest.raises(ValueError, match="semiring"):
+        streaming_pipeline_scores(
+            log_pi, log_a, log_w, mu, var, feats, mesh, chunk=16, semiring="sum"
+        )
+
+
 @requires_multidevice
 def test_mesh_degrades_to_single_device():
     """The same sharded code must run on a 1-device mesh."""
