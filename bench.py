@@ -83,7 +83,7 @@ def tpu_throughput() -> float:
     _enable_compile_cache()
 
     from lnasr_tpu.config import MFCCConfig
-    from lnasr_tpu.models.mfcc import mfcc_features
+    from lnasr_tpu.models.mfcc import mfcc_features_fused
     from lnasr_tpu.ops.gaussian import gmm_emissions_diag
     from lnasr_tpu.ops.trellis_pallas import viterbi_pallas
 
@@ -93,12 +93,10 @@ def tpu_throughput() -> float:
     log_a, log_pi, log_w, mu, var = (jnp.asarray(p, dtype) for p in _model_params(rng))
 
     def pipeline_once(signals):
-        def one(sig):
-            feats = mfcc_features(sig, cfg, dtype=dtype).features
-            log_b, _ = gmm_emissions_diag(feats, log_w, mu, var)
-            return log_b
-
-        log_b = jax.vmap(one)(signals)
+        # fused Pallas frontend (framing+DFT+power+mel in VMEM, 3-pass
+        # split-bf16 DFT, ~2^-18 relative error — ops/mfcc_pallas.py)
+        feats, _ = mfcc_features_fused(signals, cfg, dtype=dtype)
+        log_b = jax.vmap(lambda f: gmm_emissions_diag(f, log_w, mu, var)[0])(feats)
         return viterbi_pallas(log_pi, log_a, log_b)
 
     def make_loop(nreps: int):

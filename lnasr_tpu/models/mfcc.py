@@ -63,6 +63,44 @@ def _delta(feat: jax.Array, mode: str) -> jax.Array:
     return jnp.concatenate([head, diff], axis=0)
 
 
+def cepstral_epilogue(
+    mel_energy: jax.Array,
+    frame_energy: jax.Array,
+    mask: jax.Array,
+    config: MFCCConfig,
+    dtype,
+    masked_energy: bool,
+) -> Tuple[jax.Array, jax.Array]:
+    """dB + mean-norm + DCT + log-energy + deltas: ``mel_energy (T, n_mels)``
+    and ``frame_energy (T,)`` -> ``(cepstrum (T, n_mels), features (T, 39))``
+    (``lnasr/mfcc.py:149-172``). Shared by the XLA frontend below and the
+    fused Pallas frontend (:mod:`lnasr_tpu.ops.mfcc_pallas`)."""
+    mel_energy = jnp.where(mel_energy == 0, jnp.asarray(_EPS, dtype), mel_energy)
+    cepstrum = 20.0 * jnp.log10(mel_energy)
+    if config.mean_norm:
+        cepstrum = cepstrum - (_masked_mean(cepstrum, mask) + 1e-8)
+    _prec = jax.lax.Precision.HIGHEST  # see ops/spectral.py: TPU f32
+    dct_m = jnp.asarray(dct2_ortho_matrix(config.n_mels), dtype=dtype)
+    cepstrum = jnp.dot(cepstrum, dct_m.T, precision=_prec)
+
+    feats = cepstrum[:, 1 : 1 + config.n_ceps]
+    if config.mean_norm:
+        feats = feats - (_masked_mean(feats, mask) + 1e-8)
+    if config.energy_floor > 0.0:
+        frame_energy = jnp.maximum(frame_energy, config.energy_floor)
+    if masked_energy:
+        # padded frames have zero power; keep the log finite there
+        frame_energy = jnp.where(mask, frame_energy, 1.0)
+    log_e = jnp.log(frame_energy)[:, None]
+    feats = jnp.concatenate([feats, log_e], axis=1)  # (T, 13)
+    feats = jnp.concatenate([feats, _delta(feats, config.delta_mode)], axis=1)  # 26
+    base = config.n_ceps + 1
+    feats = jnp.concatenate(
+        [feats, _delta(feats[:, base : 2 * base], config.delta_mode)], axis=1
+    )  # 39
+    return cepstrum, feats
+
+
 def mfcc_features(
     signal: jax.Array,
     config: MFCCConfig = MFCCConfig(),
@@ -105,30 +143,54 @@ def mfcc_features(
         mel_filterbank(config.n_mels, config.fft_n, config.sample_rate), dtype=dtype
     )
     mel_energy = jnp.dot(power, fbank.T, precision=_prec)  # (T, n_mels)
-    mel_energy = jnp.where(mel_energy == 0, jnp.asarray(_EPS, dtype), mel_energy)
-    cepstrum = 20.0 * jnp.log10(mel_energy)
-    if config.mean_norm:
-        cepstrum = cepstrum - (_masked_mean(cepstrum, mask) + 1e-8)
-    dct_m = jnp.asarray(dct2_ortho_matrix(config.n_mels), dtype=dtype)
-    cepstrum = jnp.dot(cepstrum, dct_m.T, precision=_prec)
-
-    feats = cepstrum[:, 1 : 1 + config.n_ceps]
-    if config.mean_norm:
-        feats = feats - (_masked_mean(feats, mask) + 1e-8)
     frame_energy = jnp.sum(power, axis=1)
-    if config.energy_floor > 0.0:
-        frame_energy = jnp.maximum(frame_energy, config.energy_floor)
-    if length is not None:
-        # padded frames have zero power; keep the log finite there
-        frame_energy = jnp.where(mask, frame_energy, 1.0)
-    log_e = jnp.log(frame_energy)[:, None]
-    feats = jnp.concatenate([feats, log_e], axis=1)  # (T, 13)
-    feats = jnp.concatenate([feats, _delta(feats, config.delta_mode)], axis=1)  # 26
-    base = config.n_ceps + 1
-    feats = jnp.concatenate(
-        [feats, _delta(feats[:, base : 2 * base], config.delta_mode)], axis=1
-    )  # 39
+    cepstrum, feats = cepstral_epilogue(
+        mel_energy, frame_energy, mask, config, dtype, masked_energy=length is not None
+    )
     return MFCCResult(power=power, cepstrum=cepstrum, features=feats, mask=mask)
+
+
+def mfcc_features_fused(
+    signals: jax.Array,
+    config: MFCCConfig = MFCCConfig(),
+    lengths: Optional[jax.Array] = None,
+    passes: int = 3,
+    interpret: bool = False,
+    dtype=jnp.float32,
+) -> Tuple[jax.Array, jax.Array]:
+    """Batched MFCCs through the fused Pallas frontend: ``signals (B, S)``
+    -> ``(features (B, T, 39), mask (B, T))``.
+
+    Framing, windowed DFT, power spectrum, and mel projection run in one
+    VMEM-resident kernel (:func:`lnasr_tpu.ops.mfcc_pallas.
+    mel_frontend_pallas`); this wrapper applies the shared cepstral
+    epilogue. ``passes=3`` is the fast split-bf16 product (~2^-18 relative
+    DFT error), ``passes=6`` is f32-faithful. The per-frame power spectrum
+    is not materialized — use :func:`mfcc_features` when you need it.
+    """
+    from lnasr_tpu.ops.mfcc_pallas import mel_frontend_pallas
+
+    frame_len, frame_step = config.frame_len, config.frame_step
+    mel_energy, frame_energy = mel_frontend_pallas(
+        signals,
+        config,
+        lengths=None if lengths is None else jnp.asarray(lengths),
+        passes=passes,
+        interpret=interpret,
+    )
+    t = mel_energy.shape[1]
+    if lengths is None:
+        mask = jnp.ones((signals.shape[0], t), dtype=bool)
+    else:
+        from lnasr_tpu.ops.framing import frame_mask
+
+        mask = frame_mask(jnp.asarray(lengths), t, frame_len, frame_step)
+    epi = jax.vmap(
+        lambda me, fe, mk: cepstral_epilogue(
+            me, fe, mk, config, dtype, masked_energy=lengths is not None
+        )[1]
+    )
+    return epi(mel_energy.astype(dtype), frame_energy.astype(dtype), mask), mask
 
 
 class MFCC:

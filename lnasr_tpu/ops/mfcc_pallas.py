@@ -1,0 +1,214 @@
+"""Fused Pallas MFCC frontend: framing -> windowed DFT -> power -> mel.
+
+The XLA frontend (``models/mfcc.py``) is HBM-bound: it materializes the
+overlapping frames (~2.5x the signal), the (T, fft/2+1) power spectrum,
+and reads both back for the mel matmul. This kernel keeps the whole chain
+for a tile of frames inside VMEM and writes only the (T, n_mels [+1])
+mel energies — the signal is read once, everything else never touches HBM.
+
+Per (utterance, frame-tile) program:
+  1. slice ``TILE_T + p`` rows of the pre-emphasized signal, pre-reshaped
+     host-side to ``(rows, frame_step)`` — frame t is rows t..t+p-1, so
+     framing is p cheap sublane slices (no gather at all);
+  2. the fused windowed-DFT GEMM against ``[C | S]`` (the Hamming window
+     is folded into the basis, ``ops/spectral.py``) is accumulated over
+     the p row-groups of the basis — ``o = sum_i x[i:i+T] @ C[i*step:]``
+     — because Mosaic cannot concatenate vectors at non-128-aligned lane
+     offsets; each partial product is a *split-bf16* product: operands
+     split into bf16 hi/lo parts in VMEM, accumulated over 3 MXU passes
+     (relative error ~2^-18 — vs 6 passes for XLA's float32-faithful
+     HIGHEST; ``passes=6`` selects a three-way split with f32 fidelity);
+  3. power spectrum via ``o*o`` and a lane roll (re/im live ``kf`` lanes
+     apart in the same fused output);
+  4. mel energies and total frame energy in one small GEMM whose last
+     column is the all-ones energy reducer; filterbank rows past the real
+     fft bins are zero, so the roll's wrap-around garbage is annihilated.
+
+The dB / DCT / delta epilogue stays in XLA (``models/mfcc.py``): it is
+(T, 40)-sized, fuses fine, and keeps this kernel output-format agnostic.
+
+Replaces the hot path of the reference's ``calc_mfcc``
+(``lnasr/mfcc.py:131-152``) — the rFFT and filterbank product the survey
+flags as the frontend's hot loops (SURVEY.md §3.1).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lnasr_tpu.config import MFCCConfig
+from lnasr_tpu.ops.framing import num_frames, preemphasis
+from lnasr_tpu.ops.spectral import mel_filterbank, windowed_dft_basis
+
+_LANE = 128
+TILE_T = 128  # frames per program (measured best on v5e; 256/512 are ~15% slower)
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _bf16_parts(x: np.ndarray, n: int):
+    """Split a float32 array into n bf16 terms summing to ~x (host side)."""
+    parts = []
+    rem = x.astype(np.float32)
+    for _ in range(n):
+        p = rem.astype(jnp.bfloat16)
+        parts.append(p)
+        rem = rem - np.asarray(p, np.float32)
+    return parts
+
+
+def _split_dot(x: jax.Array, y_parts, passes: int) -> jax.Array:
+    """f32-accurate matmul from bf16 MXU passes.
+
+    ``passes=3``: two-way splits, drop the lo*lo term (error ~2^-18 of the
+    term-magnitude scale). ``passes=6``: three-way splits keeping all terms
+    of order >= 2^-24 — f32-faithful, same pass count as XLA HIGHEST.
+    """
+    dims = (((1,), (0,)), ((), ()))
+    dot = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=dims,
+        preferred_element_type=jnp.float32,
+    )
+    n_x = 2 if passes == 3 else 3
+    xs = []
+    rem = x
+    for _ in range(n_x):
+        p = rem.astype(jnp.bfloat16)
+        xs.append(p)
+        rem = rem - p.astype(x.dtype)
+    acc = None
+    for i, xp in enumerate(xs):
+        for j, yp in enumerate(y_parts):
+            if i + j >= n_x:
+                continue
+            term = dot(xp, yp)
+            acc = term if acc is None else acc + term
+    return acc
+
+
+def _make_kernel(cfg: MFCCConfig, p_rows: int, w_dft: int, kf: int,
+                 pw: int, passes: int, dtype):
+    step = cfg.frame_step
+    inv_fftn = 1.0 / cfg.fft_n
+
+    def kernel(x_ref, b1_ref, b2_ref, b3_ref, f1_ref, f2_ref, out_ref):
+        j = pl.program_id(1)
+        x = x_ref[0, pl.ds(j * TILE_T, TILE_T + p_rows), :]  # (T+p, step)
+        o = None
+        for i in range(p_rows):  # accumulate the DFT over basis row-groups
+            xi = x[i : i + TILE_T, :]  # (TILE_T, step)
+            y_parts = [b1_ref[i], b2_ref[i]]
+            if passes == 6:
+                y_parts.append(b3_ref[i])
+            oi = _split_dot(xi, y_parts, passes)
+            o = oi if o is None else o + oi  # (TILE_T, w_dft) f32
+        osq = o * o
+        # roll right by (w - kf) == roll left by kf: brings im^2 (which
+        # lives kf lanes after re^2 in the fused output) onto re^2
+        osq_im = pltpu.roll(osq, w_dft - kf, axis=1)
+        power = (osq + osq_im)[:, :pw] * inv_fftn
+        mel = _split_dot(power, [f1_ref[...], f2_ref[...]], 3)
+        out_ref[0, :, :] = mel.astype(dtype)
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _frontend_constants(cfg: MFCCConfig, p_rows: int, w_dft: int, pw: int):
+    """Host-side basis/filterbank constants, padded for the kernel layout."""
+    kf = cfg.fft_n // 2 + 1
+    c, s = windowed_dft_basis(cfg.frame_len, cfg.fft_n, "float32")
+    basis = np.zeros((p_rows * cfg.frame_step, w_dft), np.float32)
+    basis[: cfg.frame_len, :kf] = c
+    basis[: cfg.frame_len, kf : 2 * kf] = s
+    # row-group layout (p_rows, step, w_dft): group i multiplies signal
+    # rows i..i+T (the kernel accumulates over i instead of lane-concat)
+    basis = basis.reshape(p_rows, cfg.frame_step, w_dft)
+    b1, b2, b3 = _bf16_parts(basis, 3)
+
+    fb = mel_filterbank(cfg.n_mels, cfg.fft_n, cfg.sample_rate)  # (M, kf)
+    fbank = np.zeros((pw, _LANE), np.float32)
+    fbank[:kf, : cfg.n_mels] = fb.T.astype(np.float32)
+    fbank[:kf, cfg.n_mels] = 1.0  # energy column: sum over real bins
+    f1, f2 = _bf16_parts(fbank, 2)
+    # host numpy (not device arrays): this cache is shared across jit
+    # traces, and arrays materialized inside one trace must not leak out
+    return (np.asarray(b1), np.asarray(b2), np.asarray(b3),
+            np.asarray(f1), np.asarray(f2))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "passes", "interpret"))
+def mel_frontend_pallas(
+    signals: jax.Array,
+    cfg: MFCCConfig = MFCCConfig(),
+    lengths: jax.Array = None,
+    passes: int = 3,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Batched fused frontend: ``signals (B, S)`` -> ``(mel_energy
+    (B, T, n_mels), frame_energy (B, T))`` where T = ``num_frames(S)``.
+
+    Numerically equals the XLA ``matmul`` path (``ops/spectral.py``) up to
+    the split-bf16 error (~2^-18 relative at ``passes=3``; f32-faithful at
+    ``passes=6``). ``lengths`` (B,) zeroes each utterance past its true
+    length *after* pre-emphasis, matching the reference's
+    pre-emphasize-then-zero-pad order (``lnasr/mfcc.py:132-135``). Set
+    ``interpret=True`` off-TPU.
+    """
+    if passes not in (3, 6):
+        raise ValueError(f"passes must be 3 or 6, got {passes}")
+    b, s_len = signals.shape
+    step, flen = cfg.frame_step, cfg.frame_len
+    kf = cfg.fft_n // 2 + 1
+    if cfg.n_mels + 1 > _LANE:
+        raise ValueError(f"n_mels must be < {_LANE}")
+    t = num_frames(s_len, flen, step)
+    t_pad = _ceil_to(t, TILE_T)
+    n_tiles = t_pad // TILE_T
+    p_rows = -(-flen // step)  # rows of `step` samples covering one frame
+    w_dft = _ceil_to(2 * kf, _LANE)
+    pw = _ceil_to(kf, _LANE)
+
+    dtype = jnp.float32
+    y = preemphasis(signals.astype(dtype), cfg.preemph)
+    if lengths is not None:
+        y = jnp.where(jnp.arange(s_len)[None, :] < lengths[:, None], y, 0)
+    rows = t_pad + p_rows
+    need = rows * step
+    y = jnp.pad(y, ((0, 0), (0, need - s_len))) if need > s_len else y[:, :need]
+    y = y.reshape(b, rows, step)
+
+    consts = _frontend_constants(cfg, p_rows, w_dft, pw)
+    kernel = _make_kernel(cfg, p_rows, w_dft, kf, pw, passes, dtype)
+    const_specs = [
+        pl.BlockSpec(c.shape, lambda bb, jj, nd=c.ndim: (0,) * nd,
+                     memory_space=pltpu.VMEM)
+        for c in consts
+    ]
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, rows, step), lambda bb, jj: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            *const_specs,
+        ],
+        out_specs=pl.BlockSpec((1, TILE_T, _LANE), lambda bb, jj: (bb, jj, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, t_pad, _LANE), dtype),
+        interpret=interpret,
+    )(y, *consts)
+    mel = out[:, :t, : cfg.n_mels]
+    energy = out[:, :t, cfg.n_mels]
+    return mel, energy
