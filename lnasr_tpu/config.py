@@ -110,6 +110,10 @@ class NGramConfig:
     add_sentence_bounds: bool = True
     smoothing: str = "fixed"
     gt_max_count: int = 5
+    # Open vocabulary: give the unigram level's freed discount mass to an
+    # ``<unk>`` class so out-of-vocabulary words have a defined probability
+    # (the reference raises KeyError on OOV, ``ngram.py:228-241``).
+    open_vocab: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

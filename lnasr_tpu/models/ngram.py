@@ -29,6 +29,7 @@ from lnasr_tpu.utils.text import PUNCTUATION_UNICODE
 
 BOS = "<s>"
 EOS = "</s>"
+UNK = "<unk>"
 NEG_INF = -1e300  # the reference's NInf sentinel (ngram.py:119)
 
 
@@ -165,6 +166,16 @@ class NGramModel:
                 dist[w] = d * cnt / total
             if dist:
                 self._discounted[context] = dist
+        if self.order == 1 and self.config.open_vocab:
+            # Open vocabulary: at the unigram level the mass freed by
+            # discounting has nowhere to back off to (the reference lets it
+            # vanish and raises KeyError on OOV words, ``ngram.py:228-241``);
+            # assign it to ``<unk>`` so unigrams sum to 1 and OOV scoring is
+            # defined (the standard ARPA convention).
+            dist = self._discounted.setdefault((), {})
+            beta = 1.0 - sum(dist.values())
+            if beta > 0 and UNK not in dist:
+                dist[UNK] = beta
         for context, dist in self._discounted.items():
             for w, p in dist.items():
                 self.prob[context + (w,)] = math.log10(p) if p > 0 else NEG_INF
@@ -194,9 +205,13 @@ class NGramModel:
         if ngram in self.prob:
             return self.prob[ngram]
         if self.order == 1:
-            # unseen unigram: the reference raises KeyError; return the
-            # sentinel instead so decoding over open vocabularies is defined
-            return self.prob.get(ngram, NEG_INF)
+            # Unseen unigram: the reference raises KeyError (``ngram.py:241``).
+            # If the model carries an ``<unk>`` class (open-vocab training or
+            # a loaded ARPA file with <unk>), OOV words score as <unk>;
+            # otherwise return the -inf sentinel so decoding stays defined.
+            if word != UNK and (UNK,) in self.prob:
+                return self.prob[(UNK,)]
+            return NEG_INF
         return self._log_alpha(context) + self.backoff.logprob(word, context[1:])
 
     def calc_prob(self, sentence: Sequence[str]) -> float:
@@ -221,21 +236,66 @@ class NGramModel:
             model = model.backoff
         return sorted(words)
 
+    def _level(self, order: int) -> "NGramModel":
+        model = self
+        while model.order > order:
+            model = model.backoff
+        if model.order != order:
+            raise ValueError(f"model has no order-{order} level")
+        return model
+
     def score_table(self, words: Sequence[str]):
         """Dense bigram score matrix ``S[i, j] = log10 P(words[j] | words[i])``
         (with backoff applied) for device-side LM-weighted Viterbi decoding.
-        Requires order >= 2."""
+        Requires order >= 2.
+
+        Vectorized: cost is O(V + #seen bigrams) dictionary work plus one
+        O(V^2) array broadcast — never an O(V^2) Python loop of recursive
+        ``logprob`` calls."""
         import numpy as np
 
         if self.order < 2:
             raise ValueError("score_table requires a bigram or higher model")
-        model = self
-        while model.order > 2:
-            model = model.backoff
-        table = np.empty((len(words), len(words)), dtype=np.float64)
-        for i, wi in enumerate(words):
-            for j, wj in enumerate(words):
-                table[i, j] = model.logprob(wj, (wi,))
+        bigram = self._level(2)
+        unigram = bigram.backoff
+        idx = {w: i for i, w in enumerate(words)}
+        # backed-off default: alpha(w_i) + P(w_j); seen bigrams overwrite
+        uni = np.array([unigram.logprob(w, ()) for w in words])
+        alpha = np.array([bigram.prob_bo.get((w,), 0.0) for w in words])
+        table = alpha[:, None] + uni[None, :]
+        for ngram, p in bigram.prob.items():
+            i, j = idx.get(ngram[0]), idx.get(ngram[1])
+            if i is not None and j is not None:
+                table[i, j] = p
+        return table
+
+    def score_table_trigram(self, words: Sequence[str]):
+        """Dense trigram tensor ``T[i, j, k] = log10 P(words[k] | words[i],
+        words[j])`` with Katz backoff applied; requires order >= 3.
+
+        Same vectorized construction as :meth:`score_table`: the backed-off
+        default ``alpha2(w_i, w_j) + S2[j, k]`` is one broadcast, then seen
+        trigrams overwrite. Memory is O(V^3) — intended for the
+        history-expanded decoding graph at classical vocabulary sizes.
+        """
+        import numpy as np
+
+        if self.order < 3:
+            raise ValueError("score_table_trigram requires a trigram model")
+        trigram = self._level(3)
+        idx = {w: i for i, w in enumerate(words)}
+        v = len(words)
+        bigram_table = self.score_table(words)
+        alpha2 = np.zeros((v, v))
+        for ctx, a in trigram.prob_bo.items():
+            i, j = idx.get(ctx[0]), idx.get(ctx[1])
+            if i is not None and j is not None:
+                alpha2[i, j] = a
+        table = alpha2[:, :, None] + bigram_table[None, :, :]
+        for ngram, p in trigram.prob.items():
+            i, j, k = (idx.get(w) for w in ngram)
+            if i is not None and j is not None and k is not None:
+                table[i, j, k] = p
         return table
 
 

@@ -226,3 +226,81 @@ def test_score_table(trigram):
         for j, wj in enumerate(words):
             assert table[i, j] == pytest.approx(bi.logprob(wj, (wi,)))
     assert table[words.index("喜欢"), words.index("吃")] > table[words.index("吃"), words.index("喜欢")]
+
+
+def test_score_table_vectorized_matches_loop():
+    """The vectorized construction must equal the naive O(V^2) recursive
+    scoring loop on a corpus big enough to mix seen and backed-off pairs."""
+    tokens = _gt_corpus(vocab=30)
+    model = NGramModel(NGramCounter(2, tokens))
+    words = [f"w{i}" for i in range(30)] + [BOS, EOS]
+    table = model.score_table(words)
+    for i, wi in enumerate(words):
+        for j, wj in enumerate(words):
+            assert table[i, j] == pytest.approx(model.logprob(wj, (wi,)), rel=1e-12)
+
+
+def test_score_table_trigram(trigram):
+    """T[i, j, k] must equal direct trigram scoring for every triple."""
+    words = ["我", "喜欢", "吃", "苹果", "香蕉"]
+    table = trigram.score_table_trigram(words)
+    assert table.shape == (5, 5, 5)
+    for i, wi in enumerate(words):
+        for j, wj in enumerate(words):
+            for k, wk in enumerate(words):
+                assert table[i, j, k] == pytest.approx(
+                    trigram.logprob(wk, (wi, wj)), rel=1e-12
+                ), (wi, wj, wk)
+
+
+def test_score_table_trigram_requires_order():
+    tokens = [Tokenizer.get_tokens(s) for s in CORPUS]
+    bi = NGramModel(NGramCounter(2, tokens))
+    with pytest.raises(ValueError, match="trigram"):
+        bi.score_table_trigram(["我"])
+
+
+def test_open_vocab_unk():
+    """Open-vocab models reserve the unigram's freed discount mass for
+    <unk>: unigrams sum to ~1, OOV words score as <unk>, and perplexity on
+    OOV-containing text is finite and defined."""
+    from lnasr_tpu.models.ngram import UNK
+
+    tokens = [Tokenizer.get_tokens(s) for s in CORPUS]
+    cfg = NGramConfig(order=2, open_vocab=True)
+    model = NGramModel(NGramCounter(2, tokens), cfg)
+    uni = model.backoff
+    assert (UNK,) in uni.prob
+    total = sum(10 ** p for p in uni.prob.values())
+    assert total == pytest.approx(1.0, rel=1e-9)
+    # OOV scores as <unk> at every order (via backoff)
+    assert model.logprob("火星", ()) == pytest.approx(uni.prob[(UNK,)])
+    assert model.logprob("火星", ("喜欢",)) > -50
+    sent = Tokenizer.get_tokens("我 喜欢 吃 榴莲")
+    ppl = model.calc_ppl(sent)
+    assert np.isfinite(ppl) and ppl > 1.0
+
+
+def test_open_vocab_arpa_roundtrip(tmp_path):
+    """<unk> must survive the ARPA round trip like any other unigram."""
+    from lnasr_tpu.models.ngram import UNK
+
+    tokens = [Tokenizer.get_tokens(s) for s in CORPUS]
+    model = NGramModel(NGramCounter(2, tokens), NGramConfig(order=2, open_vocab=True))
+    path = str(tmp_path / "open.lm")
+    NGramModelARPA().save(model, path)
+    loaded = NGramModel(NGramModelARPA().load(path))
+    assert loaded.backoff.prob[(UNK,)] == pytest.approx(model.backoff.prob[(UNK,)])
+    assert loaded.logprob("不存在", ("我",)) == pytest.approx(
+        model.logprob("不存在", ("我",)), rel=1e-12
+    )
+
+
+def test_closed_vocab_unchanged():
+    """Default (closed-vocab) models keep the reference's sentinel behavior."""
+    from lnasr_tpu.models.ngram import NEG_INF, UNK
+
+    tokens = [Tokenizer.get_tokens(s) for s in CORPUS]
+    model = NGramModel(NGramCounter(2, tokens))
+    assert (UNK,) not in model.backoff.prob
+    assert model.logprob("火星", ()) == NEG_INF
