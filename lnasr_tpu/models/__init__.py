@@ -10,7 +10,11 @@ from lnasr_tpu.models.ngram import (
     NGramModelARPA,
     Tokenizer,
 )
-from lnasr_tpu.models.decoder import DecoderConfig, DecodingGraph
+from lnasr_tpu.models.decoder import (
+    DecoderConfig,
+    DecodingGraph,
+    FactoredDecodingGraph,
+)
 from lnasr_tpu.models.recognizer import (
     AcousticModel,
     LanguageModel,
@@ -31,6 +35,7 @@ __all__ = [
     "Tokenizer",
     "DecoderConfig",
     "DecodingGraph",
+    "FactoredDecodingGraph",
     "AcousticModel",
     "LanguageModel",
     "Recognizer",

@@ -15,12 +15,20 @@ into a single dense composed state space with
     ARPA scores converted to nats) and a word-insertion penalty,
   - sentence-begin/end LM scores on the entry vector / final weights.
 
-Decoding is then ONE dense Viterbi scan on device over the composed graph
-(emission scoring for all composed states is a single fused GMM batch),
-with host work limited to reading back the final state path. Dense
-composition is the right regime for classical vocabularies (tens to
-thousands of HMM states); the graph is built once on the host and reused
-across utterances.
+Two graph realizations share the same composition semantics:
+
+- :class:`DecodingGraph` — the dense form: one ``(n_states, n_states)``
+  transition matrix, one Viterbi scan. Exact and simple; memory and
+  per-frame work are O((V*s)^2), the right regime for small vocabularies
+  and the parity oracle for the factored form.
+- :class:`FactoredDecodingGraph` — the scalable form: states live on a
+  ``(V, S)`` word-by-state grid; the within-word blocks are a batched
+  ``(V, S, S)`` max-plus matvec and the word->word hop is a ``(V, V)``
+  reduction over word-final scores — the low-rank structure the dense
+  matrix hides. Memory and per-frame work are O(V*S^2 + V^2), so
+  thousand-word vocabularies decode on-device.
+
+Both build once on the host and are reused across utterances.
 """
 
 from __future__ import annotations
@@ -41,6 +49,58 @@ from lnasr_tpu.ops.gaussian import gmm_emissions_diag, gmm_emissions_full
 from lnasr_tpu.ops.trellis import viterbi_scan
 
 _LN10 = math.log(10.0)
+
+SILENCE = "<sil>"
+
+
+def _word_lm_scores(
+    words: Sequence[str],
+    lm: Optional[NGramModel],
+    config: "DecoderConfig",
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Word-level LM scores shared by the dense and factored graphs.
+
+    Returns ``(log_pi_w, log_final_w, hop)`` in nats:
+
+    - ``log_pi_w[i]``: sentence-begin score of starting in word i,
+    - ``log_final_w[i]``: sentence-end weight at word i's final state,
+    - ``hop[i, j]``: total weight of the word i -> word j transition
+      (unit-exit penalty + scaled bigram LM + insertion penalty; the
+      history-losing unigram rule for hops out of silence; silence is
+      enterable from any real word and never self-loops).
+
+    Vectorized through :meth:`NGramModel.score_table` — no per-pair
+    recursive scoring (the round-1 builder's O(V^2) Python loop).
+    """
+    v = len(words)
+    is_sil = np.array([w == SILENCE for w in words])
+    real = [w for w in words if w != SILENCE]
+    n_real = len(real)
+    scale = config.lm_scale * _LN10
+
+    if lm is None:
+        flat = -math.log(n_real)
+        pi_w = np.full(v, flat)
+        final_w = np.zeros(v)
+        hop = np.full((v, v), flat)
+        uni = np.full(v, flat)
+    else:
+        tbl = scale * lm.score_table(list(words) + [BOS, EOS])
+        pi_w = tbl[v, :v].copy()  # P(word | <s>)
+        final_w = tbl[:v, v + 1].copy() if _has_eos(lm) else np.zeros(v)
+        hop = tbl[:v, :v].copy()
+        unigram = lm._level(1)
+        uni = scale * np.array([unigram.logprob(w, ()) for w in words])
+
+    # hops out of silence lose the word history: back off to unigram
+    hop = np.where(is_sil[:, None], uni[None, :], hop)
+    hop = hop + config.exit_logp + config.word_insertion_penalty
+    # entering silence carries no LM score or insertion penalty
+    hop[:, is_sil] = config.exit_logp
+    hop[np.ix_(is_sil, is_sil)] = -np.inf  # silence never follows itself
+    pi_w[is_sil] = 0.0
+    final_w[is_sil] = 0.0
+    return pi_w, final_w, hop
 
 
 @dataclasses.dataclass(frozen=True)
@@ -168,51 +228,21 @@ class DecodingGraph:
                 log_a[last, unit_entries[nxt]] = config.exit_logp
             pos += n
 
-        # word -> word transitions (bigram LM) and entry/final weights
+        # word -> word transitions (bigram LM) and entry/final weights —
+        # the shared word-level scores, scattered into the dense matrix
         log_pi = np.full(n_states, -np.inf)
         log_final = np.full(n_states, -np.inf)
-        n_real = sum(1 for w in words if w != cls.SILENCE)
-
-        def lm_score(word: str, prev: str) -> float:
-            # ARPA scores are log10; decoding runs in nats
-            if lm is None:
-                return -math.log(n_real)
-            return config.lm_scale * _LN10 * lm.logprob(word, (prev,))
-
-        def lm_unigram(word: str) -> float:
-            if lm is None:
-                return -math.log(n_real)
-            node = lm
-            while node.backoff is not None:
-                node = node.backoff
-            return config.lm_scale * _LN10 * node.logprob(word, ())
-
-        has_eos = lm is not None and _has_eos(lm)
-        for wi, word in enumerate(words):
-            entry, last = word_first[wi], word_last[wi]
-            if word == cls.SILENCE:
-                log_pi[entry] = 0.0
-                log_final[last] = 0.0
-            else:
-                log_pi[entry] = lm_score(word, BOS)
-                log_final[last] = lm_score(EOS, word) if has_eos else 0.0
-            if not config.loop:
-                continue
-            for vj, nxt in enumerate(words):
-                if nxt == cls.SILENCE:
-                    if word != cls.SILENCE:
-                        log_a[last, word_first[vj]] = config.exit_logp
-                elif word == cls.SILENCE:
-                    # history is lost across silence: back off to unigram
-                    log_a[last, word_first[vj]] = (
-                        config.exit_logp + lm_unigram(nxt)
-                        + config.word_insertion_penalty
-                    )
-                else:
-                    log_a[last, word_first[vj]] = (
-                        config.exit_logp + lm_score(nxt, word)
-                        + config.word_insertion_penalty
-                    )
+        pi_w, final_w, hop = _word_lm_scores(words, lm, config)
+        first_arr, last_arr = np.asarray(word_first), np.asarray(word_last)
+        log_pi[first_arr] = pi_w
+        log_final[last_arr] = final_w
+        if config.loop:
+            # leave the (silence, silence) arc to the silence model itself
+            sil = np.array([w == cls.SILENCE for w in words])
+            block = log_a[np.ix_(last_arr, first_arr)]
+            log_a[np.ix_(last_arr, first_arr)] = np.where(
+                np.outer(sil, sil), block, hop
+            )
 
         return cls(
             words, log_a, log_pi, log_final, state_word_arr, word_start, word_end,
@@ -277,3 +307,259 @@ def _has_eos(lm: NGramModel) -> bool:
             return True
         node = node.backoff
     return False
+
+
+def _compose_words(
+    lexicon: Lexicon,
+    unit_models: Mapping[str, GMMHMM],
+    silence_model: Optional[GMMHMM],
+    exit_logp: float,
+):
+    """Per-word composition shared by the factored graphs: concatenate each
+    word's unit HMMs into one ``(S_w, S_w)`` log-transition block (with
+    unit->unit exit hops) and stack all real states' emission parameters.
+
+    Returns ``(words, blocks, emission_params, state_offsets)`` where
+    ``blocks[v]`` is word v's numpy transition block, ``emission_params``
+    are the stacked ``(log_w, mu, cov)`` over all real states in word-major
+    order, and ``state_offsets[v]`` is word v's first row in that stack.
+    """
+    words = sorted(lexicon.keys())
+    lexicon = Lexicon({w: lexicon[w] for w in words})
+    unit_models = dict(unit_models)
+    if silence_model is not None:
+        words = words + [SILENCE]
+        lexicon[SILENCE] = (SILENCE,)
+        unit_models[SILENCE] = silence_model
+
+    blocks: List[np.ndarray] = []
+    log_w_parts, mu_parts, cov_parts = [], [], []
+    state_offsets: List[int] = []
+    offset = 0
+    for word in words:
+        models = [unit_models[u] for u in lexicon[word]]
+        sizes = [m.n for m in models]
+        s_w = sum(sizes)
+        block = np.full((s_w, s_w), -np.inf)
+        pos = 0
+        for k, m in enumerate(models):
+            n = m.n
+            block[pos : pos + n, pos : pos + n] = np.asarray(m.log_a, np.float64)
+            if k + 1 < len(models):
+                block[pos + n - 1, pos + n] = exit_logp
+            log_w_parts.append(np.asarray(m.log_w, np.float64))
+            mu_parts.append(np.asarray(m.mu, np.float64))
+            cov_parts.append(np.asarray(m.cov, np.float64))
+            pos += n
+        blocks.append(block)
+        state_offsets.append(offset)
+        offset += s_w
+    emission_params = (
+        np.concatenate(log_w_parts),
+        np.concatenate(mu_parts),
+        np.concatenate(cov_parts),
+    )
+    return words, blocks, emission_params, state_offsets
+
+
+class FactoredDecodingGraph:
+    """Composed-word Viterbi that exploits the graph's block structure.
+
+    The dense graph's ``(V*s, V*s)`` transition matrix is, by construction,
+    block-diagonal within-word transitions plus a rank-structured word->word
+    hop (word-final exit -> (V, V) LM matrix -> word-entry states). This
+    class keeps those factors separate: states live on a ``(V, S)``
+    word-by-local-state grid (S = longest word, shorter words padded with
+    -inf states), and one Viterbi step is
+
+      within[v, j] = max_s  v[v, s]   + inner_a[v, s, j]   (batched (V,S,S))
+      entry[w]     = max_v  v[v, e_v] + hop[v, w]          ((V, V) reduction)
+      new_v        = within with entry merged at local state 0, + emissions
+
+    Per-frame work and memory are O(V*S^2 + V^2) instead of the dense
+    O((V*S)^2): a 10k-word 3-state-per-word vocabulary needs ~0.4 GB for
+    the hop matrix instead of ~3.6 TB for the dense matrix. Decoded words,
+    paths and scores match :class:`DecodingGraph` exactly (parity-tested).
+
+    This realizes the search the reference designed but never built
+    (``doc/source/basic.rst:14-21``, ``lnasr/recognizer.py:46-48``) in the
+    shape TPUs want: the hot loop is a batched max-plus matvec and a
+    VPU-friendly (V, V) reduction, with emission scoring one fused GMM GEMM.
+    """
+
+    SILENCE = SILENCE
+
+    def __init__(
+        self,
+        words: Sequence[str],
+        inner_a: np.ndarray,  # (V, S, S)
+        exit_idx: np.ndarray,  # (V,)
+        state_map: np.ndarray,  # (V, S) -> row in the emission stack
+        pad_mask: np.ndarray,  # (V, S) True for real states
+        log_pi_w: np.ndarray,  # (V,)
+        log_final_w: np.ndarray,  # (V,)
+        hop: Optional[np.ndarray],  # (V, V), None when loop=False
+        emission_params: Tuple[np.ndarray, np.ndarray, np.ndarray],
+        cov_type: str,
+        dtype=jnp.float32,
+    ):
+        self.words = list(words)
+        self.dtype = dtype
+        self.cov_type = cov_type
+        self.inner_a = jnp.asarray(inner_a, dtype)
+        self.exit_idx = jnp.asarray(exit_idx, jnp.int32)
+        self._exit_idx_np = np.asarray(exit_idx)
+        self.state_map = jnp.asarray(state_map, jnp.int32)
+        self.pad_mask = jnp.asarray(pad_mask)
+        self.log_pi_w = jnp.asarray(log_pi_w, dtype)
+        self.log_final_w = jnp.asarray(log_final_w, dtype)
+        self.hop = None if hop is None else jnp.asarray(hop, dtype)
+        log_w, mu, cov = emission_params
+        self.log_w = jnp.asarray(log_w, dtype)
+        self.mu = jnp.asarray(mu, dtype)
+        self.cov = jnp.asarray(cov, dtype)
+
+    @classmethod
+    def build(
+        cls,
+        lexicon: Lexicon,
+        unit_models: Mapping[str, GMMHMM],
+        lm: Optional[NGramModel] = None,
+        config: DecoderConfig = DecoderConfig(),
+        silence_model: Optional[GMMHMM] = None,
+        dtype=jnp.float32,
+    ) -> "FactoredDecodingGraph":
+        """Compose the factored graph (same inputs and semantics as
+        :meth:`DecodingGraph.build`)."""
+        some_model = next(iter(unit_models.values()))
+        cov_type = some_model.config.cov_type
+        words, blocks, emission_params, state_offsets = _compose_words(
+            lexicon, unit_models, silence_model, config.exit_logp
+        )
+        v = len(words)
+        s_max = max(b.shape[0] for b in blocks)
+        inner_a = np.full((v, s_max, s_max), -np.inf)
+        state_map = np.zeros((v, s_max), np.int64)
+        pad_mask = np.zeros((v, s_max), bool)
+        exit_idx = np.zeros(v, np.int64)
+        for wi, block in enumerate(blocks):
+            s_w = block.shape[0]
+            inner_a[wi, :s_w, :s_w] = block
+            state_map[wi, :s_w] = state_offsets[wi] + np.arange(s_w)
+            pad_mask[wi, :s_w] = True
+            exit_idx[wi] = s_w - 1
+
+        # NB: a silence model's own last->first arc (the dense builder's
+        # preserved sil->sil cell) lives inside its inner_a block here, so
+        # hop stays purely word-level (sil->sil = -inf).
+        pi_w, final_w, hop = _word_lm_scores(words, lm, config)
+        return cls(
+            words, inner_a, exit_idx, state_map, pad_mask, pi_w, final_w,
+            hop if config.loop else None, emission_params, cov_type, dtype,
+        )
+
+    @property
+    def n_states(self) -> int:
+        return int(self.pad_mask.sum())
+
+    @property
+    def grid_shape(self) -> Tuple[int, int]:
+        return self.inner_a.shape[0], self.inner_a.shape[1]
+
+    # -- decoding -------------------------------------------------------------
+
+    @functools.cached_property
+    def _decode_fn(self):
+        cov_type, loop = self.cov_type, self.hop is not None
+        neg = -jnp.inf
+
+        def fn(obs, inner_a, hop, log_pi_w, log_final_w, exit_idx, state_map,
+               pad_mask, log_w, mu, cov):
+            v_words, s_max = state_map.shape
+            if cov_type == "diag":
+                log_b_real, _ = gmm_emissions_diag(obs, log_w, mu, cov)
+            else:
+                log_b_real, _ = gmm_emissions_full(obs, log_w, mu, cov)
+            log_b = jnp.where(pad_mask[None], log_b_real[:, state_map], neg)
+
+            word_base = jnp.arange(v_words, dtype=jnp.int32)[:, None] * s_max
+
+            def step(vgrid, log_b_t):
+                cand_in = vgrid[:, :, None] + inner_a  # (V, S, S) over pred s
+                within = jnp.max(cand_in, axis=1)
+                wsrc = jnp.argmax(cand_in, axis=1).astype(jnp.int32)
+                bt = word_base + wsrc  # global grid ids (V, S)
+                if loop:
+                    exit_v = jnp.take_along_axis(
+                        vgrid, exit_idx[:, None].astype(jnp.int32), axis=1
+                    )[:, 0]
+                    cand_hop = exit_v[:, None] + hop  # (V, V): [from, to]
+                    entry = jnp.max(cand_hop, axis=0)
+                    esrc = jnp.argmax(cand_hop, axis=0).astype(jnp.int32)
+                    hop_wins = entry > within[:, 0]
+                    within = within.at[:, 0].set(
+                        jnp.maximum(within[:, 0], entry)
+                    )
+                    bt_entry = jnp.where(
+                        hop_wins,
+                        esrc * s_max + exit_idx[esrc].astype(jnp.int32),
+                        bt[:, 0],
+                    )
+                    bt = bt.at[:, 0].set(bt_entry)
+                new_v = within + log_b_t
+                return new_v, bt
+
+            pi_grid = jnp.full((v_words, s_max), neg, log_b.dtype)
+            pi_grid = pi_grid.at[:, 0].set(log_pi_w.astype(log_b.dtype))
+            v0 = pi_grid + log_b[0]
+            v_last, bts = jax.lax.scan(step, v0, log_b[1:])
+
+            # termination is restricted to word-final states
+            final_grid = jnp.where(
+                jnp.arange(s_max)[None, :] == exit_idx[:, None],
+                log_final_w[:, None].astype(v_last.dtype),
+                neg,
+            )
+            v_final = v_last + final_grid
+            flat = v_final.reshape(-1)
+            last_state = jnp.argmax(flat).astype(jnp.int32)
+            score = flat[last_state]
+
+            bts_flat = bts.reshape(bts.shape[0], -1)  # (T-1, V*S)
+
+            def backstep(state_next, bt_row):
+                state_t = bt_row[state_next]
+                return state_t, state_t
+
+            _, head = jax.lax.scan(backstep, last_state, bts_flat, reverse=True)
+            path = jnp.concatenate([head, last_state[None]], axis=0)
+            return path, score
+
+        return jax.jit(fn)
+
+    def decode(self, features) -> Tuple[List[str], np.ndarray, float]:
+        """Viterbi over the factored graph. Returns (words, per-frame grid
+        state path ``word*S + local``, score) with the same word-recovery
+        rule as the dense graph."""
+        obs = jnp.asarray(features, self.dtype)
+        path, score = self._decode_fn(
+            obs, self.inner_a, self.hop, self.log_pi_w, self.log_final_w,
+            self.exit_idx, self.state_map, self.pad_mask,
+            self.log_w, self.mu, self.cov,
+        )
+        path = np.asarray(path)
+        return self._path_to_words(path), path, float(score)
+
+    def _path_to_words(self, path: np.ndarray) -> List[str]:
+        s_max = self.grid_shape[1]
+        word_ids, locals_ = path // s_max, path % s_max
+        out = [self.words[word_ids[0]]]
+        for t in range(1, len(path)):
+            if path[t] == path[t - 1]:
+                continue
+            if locals_[t] == 0 and (
+                word_ids[t] != word_ids[t - 1]
+                or locals_[t - 1] == self._exit_idx_np[word_ids[t - 1]]
+            ):
+                out.append(self.words[word_ids[t]])
+        return [w for w in out if w != self.SILENCE]

@@ -26,7 +26,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from lnasr_tpu.config import GMMHMMConfig, MFCCConfig
-from lnasr_tpu.models.decoder import DecoderConfig, DecodingGraph
+from lnasr_tpu.models.decoder import (
+    DecoderConfig,
+    DecodingGraph,
+    FactoredDecodingGraph,
+)
 from lnasr_tpu.models.gmmhmm import GMMHMM
 from lnasr_tpu.models.lexicon import Lexicon
 from lnasr_tpu.models.mfcc import MFCC
@@ -129,6 +133,10 @@ class Recognizer:
     ``{'am': ..., 'lm': ...}`` file paths, ``recognizer.py:37-44``; here the
     components are first-class objects and ``recognize`` actually works)."""
 
+    # above this many composed states the dense (n_states)^2 matrix loses
+    # to the factored (V, S) grid in both memory and per-frame work
+    DENSE_STATE_LIMIT = 256
+
     def __init__(
         self,
         am: AcousticModel,
@@ -136,7 +144,14 @@ class Recognizer:
         lm: Optional[LanguageModel] = None,
         vad=None,
         decoder_config: DecoderConfig = DecoderConfig(),
+        graph: str = "auto",
     ):
+        """``graph`` selects the search realization: ``"dense"`` (one
+        (n_states)^2 Viterbi — exact, right for small vocabularies),
+        ``"factored"`` (the (V, S)-grid search — scales to thousands of
+        words), or ``"auto"`` (factored once the composed state count
+        exceeds :data:`DENSE_STATE_LIMIT`). Both decode identical words and
+        scores (parity-tested)."""
         self.am = am
         self.lexicon = lexicon
         self.lm = lm
@@ -144,7 +159,15 @@ class Recognizer:
         # a unit named "<sil>" in the acoustic model becomes the decoder's
         # background model (decodes silence between words, emits no text)
         silence = am.units.get(DecodingGraph.SILENCE)
-        self.graph = DecodingGraph.build(
+        if graph == "auto":
+            n_states = sum(
+                am.units[u].n for w in lexicon for u in lexicon[w]
+            ) + (silence.n if silence is not None else 0)
+            graph = "dense" if n_states <= self.DENSE_STATE_LIMIT else "factored"
+        if graph not in ("dense", "factored"):
+            raise ValueError(f"unknown graph type: {graph!r}")
+        graph_cls = DecodingGraph if graph == "dense" else FactoredDecodingGraph
+        self.graph = graph_cls.build(
             lexicon,
             am.units,
             lm.ngram if lm is not None else None,

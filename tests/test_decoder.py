@@ -6,7 +6,11 @@ import jax.numpy as jnp
 import pytest
 
 from lnasr_tpu.config import GMMHMMConfig
-from lnasr_tpu.models.decoder import DecoderConfig, DecodingGraph
+from lnasr_tpu.models.decoder import (
+    DecoderConfig,
+    DecodingGraph,
+    FactoredDecodingGraph,
+)
 from lnasr_tpu.models.gmmhmm import GMMHMM
 from lnasr_tpu.models.lexicon import Lexicon
 from lnasr_tpu.models.ngram import NGramCounter, NGramModel, Tokenizer
@@ -132,6 +136,142 @@ def test_lm_breaks_acoustic_tie(small_world):
     ])
     decoded, _, _ = graph.decode(feats)
     assert decoded == ["charlie", "alpha"]  # LM prior wins the tie
+
+
+# -- factored graph: parity with the dense oracle and scale ------------------
+
+
+def _silence_unit(dim=3, dtype=jnp.float64):
+    cfg = GMMHMMConfig(n_states=2, n_mix=1, dim=dim)
+    m = GMMHMM(cfg, dtype=dtype)
+    rng = np.random.default_rng(99)
+    m.init_left_to_right(rng.normal(size=(8, dim)) * 0.1 + 10.0,
+                         jax.random.PRNGKey(9))
+    m.cov = jnp.full_like(m.cov, 0.05)
+    return m
+
+
+def _parity_case(units, lex, lm, config, feats):
+    dense = DecodingGraph.build(lex, units, lm, config, dtype=jnp.float64)
+    fact = FactoredDecodingGraph.build(lex, units, lm, config, dtype=jnp.float64)
+    dw, _, dscore = dense.decode(feats)
+    fw, _, fscore = fact.decode(feats)
+    assert fw == dw, (fw, dw)
+    assert fscore == pytest.approx(dscore, rel=1e-12, abs=1e-9)
+
+
+def test_factored_matches_dense_connected(small_world):
+    units, lex = small_world
+    rng = np.random.default_rng(11)
+    feats = np.concatenate(
+        [_emit(units, lex[w], 4, rng) for w in ["charlie", "alpha", "bravo"]]
+    )
+    _parity_case(units, lex, None, DecoderConfig(loop=True), feats)
+
+
+def test_factored_matches_dense_isolated(small_world):
+    units, lex = small_world
+    rng = np.random.default_rng(12)
+    feats = _emit(units, lex["bravo"], 5, rng)
+    _parity_case(units, lex, None, DecoderConfig(loop=False), feats)
+
+
+def test_factored_matches_dense_with_lm(small_world):
+    units, lex = small_world
+    corpus = ["alpha bravo charlie", "charlie alpha", "bravo bravo alpha"]
+    lm = NGramModel(NGramCounter(2, [Tokenizer.get_tokens(s) for s in corpus]))
+    rng = np.random.default_rng(13)
+    feats = np.concatenate(
+        [_emit(units, lex[w], 4, rng) for w in ["alpha", "bravo", "charlie"]]
+    )
+    _parity_case(
+        units, lex, lm,
+        DecoderConfig(lm_scale=2.0, word_insertion_penalty=-0.5), feats,
+    )
+
+
+def test_factored_matches_dense_variable_word_lengths():
+    """Padding: words of 2, 4, and 6 states share one (V, S) grid."""
+    units = {"p": _make_unit(-5.0), "q": _make_unit(0.0), "r": _make_unit(5.0)}
+    lex = Lexicon({"p": ("p",), "pq": ("p", "q"), "pqr": ("p", "q", "r")})
+    rng = np.random.default_rng(14)
+    feats = np.concatenate(
+        [_emit(units, lex[w], 3, rng) for w in ["pqr", "p", "pq"]]
+    )
+    _parity_case(units, lex, None, DecoderConfig(loop=True), feats)
+
+
+def test_factored_matches_dense_with_silence(small_world):
+    units, lex = small_world
+    sil = _silence_unit()
+    rng = np.random.default_rng(15)
+    sil_frames = np.asarray(sil.mu)[0, 0] + rng.normal(
+        scale=0.05, size=(6, 3)
+    )
+    feats = np.concatenate([
+        _emit(units, lex["alpha"], 4, rng),
+        sil_frames,
+        _emit(units, lex["charlie"], 4, rng),
+    ])
+    cfg = DecoderConfig(loop=True)
+    dense = DecodingGraph.build(lex, units, None, cfg, silence_model=sil,
+                                dtype=jnp.float64)
+    fact = FactoredDecodingGraph.build(lex, units, None, cfg,
+                                       silence_model=sil, dtype=jnp.float64)
+    dw, _, dscore = dense.decode(feats)
+    fw, _, fscore = fact.decode(feats)
+    assert fw == dw == ["alpha", "charlie"]
+    assert fscore == pytest.approx(dscore, rel=1e-12, abs=1e-9)
+
+
+def _fast_unit(mean, n_states, dim, dtype=jnp.float64):
+    """Direct-parameter left-to-right unit (no EM) for large-vocab tests."""
+    cfg = GMMHMMConfig(n_states=n_states, n_mix=1, dim=dim)
+    m = GMMHMM(cfg, dtype=dtype)
+    a = np.full((n_states, n_states), -np.inf)
+    for i in range(n_states - 1):
+        a[i, i] = np.log(0.5)
+        a[i, i + 1] = np.log(0.5)
+    a[-1, -1] = 0.0
+    pi = np.full(n_states, -np.inf)
+    pi[0] = 0.0
+    m.log_a, m.log_pi = jnp.asarray(a, dtype), jnp.asarray(pi, dtype)
+    m.log_w = jnp.zeros((n_states, 1), dtype)
+    m.mu = jnp.asarray(
+        mean[None, None, :] + np.arange(n_states)[:, None, None] * 0.5, dtype
+    )
+    m.cov = jnp.full((n_states, 1, dim), 0.05, dtype)
+    return m
+
+
+def test_factored_large_vocabulary():
+    """A 1,000-word vocabulary decodes through the factored graph with
+    O(V*S^2 + V^2) memory — the dense (V*S)^2 matrix would be 9M times
+    larger than the factored inner blocks. Spot-checked for correctness
+    against ideal emissions."""
+    v, dim, n_states = 1000, 8, 3
+    rng = np.random.default_rng(20)
+    means = rng.normal(scale=30.0, size=(v, dim))
+    units = {f"w{i:04d}": _fast_unit(means[i], n_states, dim) for i in range(v)}
+    lex = Lexicon.whole_word(sorted(units))
+    graph = FactoredDecodingGraph.build(lex, units, None,
+                                        DecoderConfig(loop=True),
+                                        dtype=jnp.float64)
+    assert graph.grid_shape == (v, n_states)
+    assert graph.inner_a.shape == (v, n_states, n_states)
+    assert graph.hop.shape == (v, v)
+    assert graph.n_states == v * n_states
+
+    sequence = ["w0007", "w0523", "w0999", "w0007"]
+    frames = []
+    for w in sequence:
+        mu = np.asarray(units[w].mu)
+        for s in range(n_states):
+            for _ in range(3):
+                frames.append(mu[s, 0] + rng.normal(scale=0.05, size=dim))
+    decoded, path, score = graph.decode(np.asarray(frames))
+    assert decoded == sequence
+    assert np.isfinite(score)
 
 
 def test_metrics():

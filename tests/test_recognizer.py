@@ -150,6 +150,20 @@ def test_streaming_recognizer(trained_recognizer):
     assert [s.words for s in segs2] == [s.words for s in segs]
 
 
+def test_factored_graph_recognizer_matches_dense(trained_recognizer):
+    """graph="factored" must transcribe identically to the dense default."""
+    rec, rng = trained_recognizer
+    from lnasr_tpu.models.decoder import FactoredDecodingGraph
+
+    rec_f = Recognizer(rec.am, rec.lexicon, rec.lm, vad=None,
+                       decoder_config=DecoderConfig(lm_scale=0.5),
+                       graph="factored")
+    assert isinstance(rec_f.graph, FactoredDecodingGraph)
+    truth = ["low", "mid", "high", "mid", "low"]
+    audio = _utterance(truth, rng, gap=0.12)
+    assert rec_f.recognize(audio) == rec.recognize(audio)
+
+
 def test_acoustic_model_save_load(tmp_path, trained_recognizer):
     rec, rng = trained_recognizer
     d = str(tmp_path / "am")
