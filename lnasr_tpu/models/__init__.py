@@ -14,6 +14,7 @@ from lnasr_tpu.models.decoder import (
     DecoderConfig,
     DecodingGraph,
     FactoredDecodingGraph,
+    TrigramDecodingGraph,
 )
 from lnasr_tpu.models.recognizer import (
     AcousticModel,
@@ -36,6 +37,7 @@ __all__ = [
     "DecoderConfig",
     "DecodingGraph",
     "FactoredDecodingGraph",
+    "TrigramDecodingGraph",
     "AcousticModel",
     "LanguageModel",
     "Recognizer",

@@ -563,3 +563,247 @@ class FactoredDecodingGraph:
             ):
                 out.append(self.words[word_ids[t]])
         return [w for w in out if w != self.SILENCE]
+
+
+class TrigramDecodingGraph:
+    """Exact trigram-LM decoding by expanding the factored graph with the
+    one-word LM history.
+
+    Search states are ``(h, w, s)``: history word h (V real words plus one
+    sentence-begin slot), current word w, local state s. Within-word
+    transitions keep the copy; the word hop moves ``(·, u) -> (u, w)`` with
+    the full trigram score ``P(w | h, u)``, so a trained trigram ARPA model
+    genuinely changes hypotheses instead of being flattened to its bigram
+    level (the round-1 decoder's limitation). Sentence begin/end use
+    ``P(w | <s>)`` and ``P(</s> | h, w)``.
+
+    Memory is O(V^2 * S) state + O(V^3) for the dense trigram hop — exact
+    decoding for classical vocabularies up to a few hundred words. A bigram
+    (order-2) LM degrades gracefully: the hop broadcasts the bigram table
+    over histories and the search is then exactly the factored bigram graph
+    (parity-tested).
+
+    With a ``silence_model``, silence is a pseudo-word whose copy keeps the
+    pre-silence word as its history slot, so hops across silence score with
+    the *bigram* P(w | pre-silence word) — one order better than the
+    factored graph's history-losing unigram rule (full trigram context
+    cannot survive, since only one word of history crosses the gap).
+
+    The reference's ARPA machinery exists precisely for trigram scoring
+    (``lnasr/ngram.py:256-378``); its decoder was never built.
+    """
+
+    def __init__(
+        self,
+        words: Sequence[str],
+        inner_a: np.ndarray,
+        exit_idx: np.ndarray,
+        state_map: np.ndarray,
+        pad_mask: np.ndarray,
+        log_pi_w: np.ndarray,  # (V,)
+        final3: np.ndarray,  # (H, V)
+        hop3: np.ndarray,  # (H, V, V)
+        emission_params: Tuple[np.ndarray, np.ndarray, np.ndarray],
+        cov_type: str,
+        dtype=jnp.float32,
+    ):
+        self.words = list(words)
+        self.dtype = dtype
+        self.cov_type = cov_type
+        self.inner_a = jnp.asarray(inner_a, dtype)
+        self.exit_idx = jnp.asarray(exit_idx, jnp.int32)
+        self._exit_idx_np = np.asarray(exit_idx)
+        self.state_map = jnp.asarray(state_map, jnp.int32)
+        self.pad_mask = jnp.asarray(pad_mask)
+        self.log_pi_w = jnp.asarray(log_pi_w, dtype)
+        self.final3 = jnp.asarray(final3, dtype)
+        self.hop3 = jnp.asarray(hop3, dtype)
+        log_w, mu, cov = emission_params
+        self.log_w = jnp.asarray(log_w, dtype)
+        self.mu = jnp.asarray(mu, dtype)
+        self.cov = jnp.asarray(cov, dtype)
+
+    @classmethod
+    def build(
+        cls,
+        lexicon: Lexicon,
+        unit_models: Mapping[str, GMMHMM],
+        lm: NGramModel,
+        config: DecoderConfig = DecoderConfig(),
+        silence_model: Optional[GMMHMM] = None,
+        dtype=jnp.float32,
+    ) -> "TrigramDecodingGraph":
+        if lm is None:
+            raise ValueError("TrigramDecodingGraph requires a language model")
+        if not config.loop:
+            raise ValueError("history expansion is for connected decoding")
+        some_model = next(iter(unit_models.values()))
+        cov_type = some_model.config.cov_type
+        words, blocks, emission_params, state_offsets = _compose_words(
+            lexicon, unit_models, silence_model, config.exit_logp
+        )
+        v = len(words)
+        s_max = max(b.shape[0] for b in blocks)
+        inner_a = np.full((v, s_max, s_max), -np.inf)
+        state_map = np.zeros((v, s_max), np.int64)
+        pad_mask = np.zeros((v, s_max), bool)
+        exit_idx = np.zeros(v, np.int64)
+        for wi, block in enumerate(blocks):
+            s_w = block.shape[0]
+            inner_a[wi, :s_w, :s_w] = block
+            state_map[wi, :s_w] = state_offsets[wi] + np.arange(s_w)
+            pad_mask[wi, :s_w] = True
+            exit_idx[wi] = s_w - 1
+
+        scale = config.lm_scale * _LN10
+        has_eos = _has_eos(lm)
+        wip = config.word_insertion_penalty
+        # history index layout: 0..V-1 words (incl. silence), V = <s>
+        s2 = scale * lm.score_table(list(words) + [BOS, EOS])
+        hsel = list(range(v)) + [v]  # history rows: words then <s>
+        if lm.order >= 3:
+            t3 = scale * lm.score_table_trigram(list(words) + [BOS, EOS])
+            hop3 = t3[hsel][:, :v, :v].copy()
+            final3 = (
+                t3[hsel][:, :v, v + 1].copy()
+                if has_eos else np.zeros((v + 1, v))
+            )
+        else:
+            hop3 = np.broadcast_to(s2[:v, :v], (v + 1, v, v)).copy()
+            final3 = (
+                np.broadcast_to(s2[:v, v + 1], (v + 1, v)).copy()
+                if has_eos else np.zeros((v + 1, v))
+            )
+        pi_w = s2[v, :v].copy()
+        hop3 = hop3 + config.exit_logp + wip
+        if silence_model is not None:
+            si = v - 1  # _compose_words appends silence last
+            # leaving silence from copy (h, sil): bigram P(w | h) — the
+            # pre-silence word survived as the copy's history slot
+            hop3[:, si, :] = s2[hsel, :v] + config.exit_logp + wip
+            # a copy whose *history* is silence scores its next hop with
+            # the bigram of its current word (two-word context is gone)
+            hop3[si, :, :] = s2[:v, :v] + config.exit_logp + wip
+            # entering silence: exit penalty only, no LM or insertion cost
+            hop3[:, :, si] = config.exit_logp
+            hop3[:, si, si] = -np.inf  # silence never follows itself
+            pi_w[si] = 0.0
+            final3[:, si] = 0.0
+            final3[si, :] = s2[:v, v + 1] if has_eos else 0.0
+            final3[si, si] = 0.0
+        return cls(
+            words, inner_a, exit_idx, state_map, pad_mask, pi_w, final3,
+            hop3, emission_params, cov_type, dtype,
+        )
+
+    @property
+    def grid_shape(self) -> Tuple[int, int, int]:
+        h, v, _ = self.hop3.shape
+        return h, v, self.inner_a.shape[1]
+
+    @functools.cached_property
+    def _decode_fn(self):
+        cov_type = self.cov_type
+        neg = -jnp.inf
+
+        def fn(obs, inner_a, hop3, log_pi_w, final3, exit_idx, state_map,
+               pad_mask, log_w, mu, cov):
+            h_hist, v_words, _ = hop3.shape
+            s_max = state_map.shape[1]
+            if cov_type == "diag":
+                log_b_real, _ = gmm_emissions_diag(obs, log_w, mu, cov)
+            else:
+                log_b_real, _ = gmm_emissions_full(obs, log_w, mu, cov)
+            log_b = jnp.where(pad_mask[None], log_b_real[:, state_map], neg)
+
+            h_iota = jnp.arange(h_hist, dtype=jnp.int32)[:, None, None]
+            w_iota = jnp.arange(v_words, dtype=jnp.int32)[None, :, None]
+            copy_base = (h_iota * v_words + w_iota) * s_max  # (H, V, 1)
+            exit_i32 = exit_idx.astype(jnp.int32)
+
+            def step(vgrid, log_b_t):
+                # vgrid: (H, V, S)
+                cand_in = vgrid[:, :, :, None] + inner_a[None]
+                within = jnp.max(cand_in, axis=2)  # (H, V, S)
+                wsrc = jnp.argmax(cand_in, axis=2).astype(jnp.int32)
+                bt = copy_base + wsrc
+
+                exit_v = jnp.take_along_axis(
+                    vgrid, exit_i32[None, :, None], axis=2
+                )[:, :, 0]  # (H, V)
+                cand_hop = exit_v[:, :, None] + hop3  # (H, V, V): [h, u, w]
+                entry = jnp.max(cand_hop, axis=0)  # (V, V): [u, w]
+                hsrc = jnp.argmax(cand_hop, axis=0).astype(jnp.int32)
+                # the hop lands in copy (h=u, w); the BOS history row (h=V)
+                # is never re-entered
+                entry_full = jnp.concatenate(
+                    [entry, jnp.full((1, v_words), neg, entry.dtype)], axis=0
+                )  # (H, V)
+                hop_wins = entry_full > within[:, :, 0]
+                within = within.at[:, :, 0].set(
+                    jnp.maximum(within[:, :, 0], entry_full)
+                )
+                # source of the hop into copy (u, w): copy (hsrc[u, w], u)
+                # at word u's exit state
+                u_iota = jnp.arange(v_words, dtype=jnp.int32)[:, None]
+                src_id = (hsrc * v_words + u_iota) * s_max + exit_i32[:, None]
+                src_full = jnp.concatenate(
+                    [src_id, jnp.zeros((1, v_words), jnp.int32)], axis=0
+                )
+                bt = bt.at[:, :, 0].set(
+                    jnp.where(hop_wins, src_full, bt[:, :, 0])
+                )
+                return within + log_b_t[None], bt
+
+            pi_grid = jnp.full((h_hist, v_words, s_max), neg, log_b.dtype)
+            pi_grid = pi_grid.at[h_hist - 1, :, 0].set(
+                log_pi_w.astype(log_b.dtype)
+            )
+            v0 = pi_grid + log_b[0][None]
+            v_last, bts = jax.lax.scan(step, v0, log_b[1:])
+
+            final_grid = jnp.where(
+                jnp.arange(s_max)[None, None, :] == exit_idx[None, :, None],
+                final3[:, :, None].astype(v_last.dtype),
+                neg,
+            )
+            flat = (v_last + final_grid).reshape(-1)
+            last_state = jnp.argmax(flat).astype(jnp.int32)
+            score = flat[last_state]
+
+            bts_flat = bts.reshape(bts.shape[0], -1)
+
+            def backstep(state_next, bt_row):
+                state_t = bt_row[state_next]
+                return state_t, state_t
+
+            _, head = jax.lax.scan(backstep, last_state, bts_flat, reverse=True)
+            path = jnp.concatenate([head, last_state[None]], axis=0)
+            return path, score
+
+        return jax.jit(fn)
+
+    def decode(self, features) -> Tuple[List[str], np.ndarray, float]:
+        obs = jnp.asarray(features, self.dtype)
+        path, score = self._decode_fn(
+            obs, self.inner_a, self.hop3, self.log_pi_w, self.final3,
+            self.exit_idx, self.state_map, self.pad_mask,
+            self.log_w, self.mu, self.cov,
+        )
+        path = np.asarray(path)
+        return self._path_to_words(path), path, float(score)
+
+    def _path_to_words(self, path: np.ndarray) -> List[str]:
+        _, v_words, s_max = self.grid_shape
+        copy_ids, locals_ = path // s_max, path % s_max
+        word_ids = copy_ids % v_words
+        out = [self.words[word_ids[0]]]
+        for t in range(1, len(path)):
+            if path[t] == path[t - 1]:
+                continue
+            if locals_[t] == 0 and (
+                copy_ids[t] != copy_ids[t - 1]
+                or locals_[t - 1] == self._exit_idx_np[word_ids[t - 1]]
+            ):
+                out.append(self.words[word_ids[t]])
+        return [w for w in out if w != SILENCE]

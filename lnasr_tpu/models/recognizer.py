@@ -30,6 +30,7 @@ from lnasr_tpu.models.decoder import (
     DecoderConfig,
     DecodingGraph,
     FactoredDecodingGraph,
+    TrigramDecodingGraph,
 )
 from lnasr_tpu.models.gmmhmm import GMMHMM
 from lnasr_tpu.models.lexicon import Lexicon
@@ -149,9 +150,11 @@ class Recognizer:
         """``graph`` selects the search realization: ``"dense"`` (one
         (n_states)^2 Viterbi — exact, right for small vocabularies),
         ``"factored"`` (the (V, S)-grid search — scales to thousands of
-        words), or ``"auto"`` (factored once the composed state count
-        exceeds :data:`DENSE_STATE_LIMIT`). Both decode identical words and
-        scores (parity-tested)."""
+        words), ``"trigram"`` (history-expanded search scoring the full
+        trigram LM; requires an order-3 model for it to differ from
+        factored), or ``"auto"`` (factored once the composed state count
+        exceeds :data:`DENSE_STATE_LIMIT`). dense/factored decode identical
+        words and scores (parity-tested)."""
         self.am = am
         self.lexicon = lexicon
         self.lm = lm
@@ -164,17 +167,25 @@ class Recognizer:
                 am.units[u].n for w in lexicon for u in lexicon[w]
             ) + (silence.n if silence is not None else 0)
             graph = "dense" if n_states <= self.DENSE_STATE_LIMIT else "factored"
-        if graph not in ("dense", "factored"):
+        if graph == "trigram":
+            if lm is None:
+                raise ValueError('graph="trigram" requires a language model')
+            self.graph = TrigramDecodingGraph.build(
+                lexicon, am.units, lm.ngram, decoder_config,
+                silence_model=silence, dtype=am.dtype,
+            )
+        elif graph in ("dense", "factored"):
+            graph_cls = DecodingGraph if graph == "dense" else FactoredDecodingGraph
+            self.graph = graph_cls.build(
+                lexicon,
+                am.units,
+                lm.ngram if lm is not None else None,
+                decoder_config,
+                silence_model=silence,
+                dtype=am.dtype,
+            )
+        else:
             raise ValueError(f"unknown graph type: {graph!r}")
-        graph_cls = DecodingGraph if graph == "dense" else FactoredDecodingGraph
-        self.graph = graph_cls.build(
-            lexicon,
-            am.units,
-            lm.ngram if lm is not None else None,
-            decoder_config,
-            silence_model=silence,
-            dtype=am.dtype,
-        )
 
     def recognize_segments(self, audio) -> List[SegmentResult]:
         audio = np.asarray(audio)

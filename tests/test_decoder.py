@@ -10,6 +10,7 @@ from lnasr_tpu.models.decoder import (
     DecoderConfig,
     DecodingGraph,
     FactoredDecodingGraph,
+    TrigramDecodingGraph,
 )
 from lnasr_tpu.models.gmmhmm import GMMHMM
 from lnasr_tpu.models.lexicon import Lexicon
@@ -272,6 +273,99 @@ def test_factored_large_vocabulary():
     decoded, path, score = graph.decode(np.asarray(frames))
     assert decoded == sequence
     assert np.isfinite(score)
+
+
+# -- trigram (history-expanded) graph -----------------------------------------
+
+
+def test_trigram_graph_matches_factored_with_bigram_lm(small_world):
+    """With an order-2 LM the history expansion is inert: words and scores
+    must equal the factored bigram search exactly."""
+    units, lex = small_world
+    corpus = ["alpha bravo charlie", "charlie alpha", "bravo bravo alpha"]
+    lm = NGramModel(NGramCounter(2, [Tokenizer.get_tokens(s) for s in corpus]))
+    cfg = DecoderConfig(lm_scale=1.5, word_insertion_penalty=-0.3)
+    fact = FactoredDecodingGraph.build(lex, units, lm, cfg, dtype=jnp.float64)
+    tri = TrigramDecodingGraph.build(lex, units, lm, cfg, dtype=jnp.float64)
+    rng = np.random.default_rng(30)
+    feats = np.concatenate(
+        [_emit(units, lex[w], 4, rng) for w in ["alpha", "bravo", "charlie"]]
+    )
+    fw, _, fscore = fact.decode(feats)
+    tw, _, tscore = tri.decode(feats)
+    assert tw == fw
+    assert tscore == pytest.approx(fscore, rel=1e-12, abs=1e-9)
+
+
+def test_trigram_changes_hypothesis_and_wer_does_not_regress():
+    """The canonical case a bigram cannot solve: two acoustically identical
+    words whose identity only the two-word history disambiguates. The
+    trigram graph must output a different (correct) hypothesis than the
+    factored bigram graph."""
+    units = {
+        "P": _make_unit(-6.0),
+        "Q": _make_unit(-2.0),
+        "A": _make_unit(2.0),
+        "B": _make_unit(6.0),
+        "C": _make_unit(6.0),  # identical parameters to B (same seed path)
+    }
+    # B and C must be exactly identical acoustically
+    assert np.allclose(np.asarray(units["B"].mu), np.asarray(units["C"].mu))
+    lex = Lexicon({w.lower(): (w,) for w in units})
+    corpus = ["p a b"] * 10 + ["q a c"] * 12
+    lm = NGramModel(NGramCounter(3, [Tokenizer.get_tokens(s) for s in corpus]))
+    cfg = DecoderConfig(lm_scale=1.0)
+    bi_graph = FactoredDecodingGraph.build(lex, units, lm, cfg, dtype=jnp.float64)
+    tri_graph = TrigramDecodingGraph.build(lex, units, lm, cfg, dtype=jnp.float64)
+
+    rng = np.random.default_rng(31)
+    truth = ["p", "a", "b"]
+    feats = np.concatenate([_emit(units, lex[w], 4, rng) for w in truth])
+
+    bi_words, _, _ = bi_graph.decode(feats)
+    tri_words, _, _ = tri_graph.decode(feats)
+    # bigram only sees P(.|a), where c dominates (12 > 10) and b/c are
+    # acoustically indistinguishable -> it picks the wrong word
+    assert bi_words == ["p", "a", "c"]
+    # the trigram knows P(b | p, a) >> P(c | p, a)
+    assert tri_words == truth
+    assert wer(truth, tri_words) <= wer(truth, bi_words)
+
+
+def test_trigram_graph_with_silence(small_world):
+    """Silence decodes between words, emits no text, and keeps one word of
+    history (bigram across the gap)."""
+    units, lex = small_world
+    sil = _silence_unit()
+    corpus = ["alpha charlie", "charlie alpha", "alpha bravo"]
+    lm = NGramModel(NGramCounter(3, [Tokenizer.get_tokens(s) for s in corpus]))
+    graph = TrigramDecodingGraph.build(lex, units, lm, DecoderConfig(),
+                                       silence_model=sil, dtype=jnp.float64)
+    rng = np.random.default_rng(32)
+    sil_frames = np.asarray(sil.mu)[0, 0] + rng.normal(scale=0.05, size=(6, 3))
+    feats = np.concatenate([
+        _emit(units, lex["alpha"], 4, rng),
+        sil_frames,
+        _emit(units, lex["charlie"], 4, rng),
+    ])
+    decoded, _, score = graph.decode(feats)
+    assert decoded == ["alpha", "charlie"]
+    assert np.isfinite(score)
+
+
+def test_trigram_recognizer_wiring(small_world):
+    from lnasr_tpu.models.recognizer import AcousticModel, LanguageModel, Recognizer
+
+    units, lex = small_world
+    corpus = ["alpha bravo", "bravo charlie"]
+    lm = LanguageModel(
+        NGramModel(NGramCounter(3, [Tokenizer.get_tokens(s) for s in corpus]))
+    )
+    am = AcousticModel(units, dtype=jnp.float64)
+    rec = Recognizer(am, lex, lm, graph="trigram")
+    assert isinstance(rec.graph, TrigramDecodingGraph)
+    with pytest.raises(ValueError, match="requires a language model"):
+        Recognizer(am, lex, None, graph="trigram")
 
 
 def test_metrics():
