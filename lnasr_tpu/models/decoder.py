@@ -48,6 +48,26 @@ from lnasr_tpu.models.ngram import NGramModel, BOS, EOS
 from lnasr_tpu.ops.gaussian import gmm_emissions_diag, gmm_emissions_full
 from lnasr_tpu.ops.trellis import viterbi_scan
 
+
+def dense_viterbi(log_pi, log_a, log_b, log_final=None):
+    """Dense-graph Viterbi dispatch: the in-VMEM Pallas kernel on TPU for
+    float32 graphs that fit the VMEM budget (bit-identical to the scan),
+    the ``lax.scan`` trellis otherwise."""
+    from lnasr_tpu.ops.trellis_pallas import (
+        viterbi_dense_vmem_ok,
+        viterbi_pallas_dense,
+    )
+
+    t_len, n = log_b.shape
+    if (
+        log_b.dtype == jnp.float32
+        and jax.default_backend() == "tpu"
+        and viterbi_dense_vmem_ok(t_len, n)
+    ):
+        return viterbi_pallas_dense(log_pi, log_a, log_b, log_final)
+    res = viterbi_scan(log_pi, log_a, log_b, log_final=log_final)
+    return res.path, res.score
+
 _LN10 = math.log(10.0)
 
 SILENCE = "<sil>"
@@ -264,8 +284,7 @@ class DecodingGraph:
                 log_b, _ = gmm_emissions_diag(obs, log_w, mu, cov)
             else:
                 log_b, _ = gmm_emissions_full(obs, log_w, mu, cov)
-            res = viterbi_scan(log_pi, log_a, log_b, log_final=log_final)
-            return res.path, res.score
+            return dense_viterbi(log_pi, log_a, log_b, log_final)
 
         return jax.jit(fn)
 

@@ -145,6 +145,144 @@ def viterbi_pallas(
     return jnp.transpose(path)[:b], score[0, :b]
 
 
+def _viterbi_dense_kernel(log_pi_ref, log_a_ref, log_at_ref, log_b_ref,
+                          log_final_ref, eye_ref, path_ref, score_ref,
+                          v_ref, m_ref):
+    """Single-utterance Viterbi over a large dense state space.
+
+    Layout: states on the LANE axis (N padded to a multiple of 128). The
+    trellis value vector is carried as an (N, 1) column so one step is one
+    (N, N) VPU add + one sublane max — only TWO N^2 passes; the resulting
+    (1, N) row moves back to column layout with an MXU identity matmul
+    (lane->sublane relayout as a matrix product, overlapped with the VPU).
+
+    No backpointers are stored. Instead the trellis *max rows* m_t are kept
+    (``m_ref``), and the backtrace re-derives each predecessor by exact
+    float equality: state_t = first i with ``v_t[i] + A[i, s_{t+1}]``
+    equal to the stored ``m_{t+1}[s_{t+1}]`` — bit-exact because the very
+    same f32 ops are replayed (``v_t = m_t + b_t`` and the identity-matmul
+    relayout reproduce the forward values bitwise), and the first-match
+    rule reproduces ``jnp.argmax``'s tie-break. This converts the O(N^2)
+    per-step argmax (compare+select+min-reduce) into an O(N) per-step
+    equality scan during traceback.
+
+    Shapes (VMEM): log_pi (1, N), log_a (N, N), log_at (N, 1, N) with
+    ``log_at[j, 0, i] = A[i, j]``, log_b (T, 1, N), log_final (1, N),
+    eye (N, N); outputs path (T, 128) int32 (column 0 is the path),
+    score (1, 1) in SMEM; scratch v (N, 1), m (T, 1, N).
+    """
+    t_len = log_b_ref.shape[0]
+    n = log_a_ref.shape[0]
+    dtype = log_a_ref.dtype
+    lanes = path_ref.shape[1]
+
+    def to_col(row):  # (1, N) -> (N, 1) via MXU: out[i, 0] = sum_j I[i,j] row[0,j]
+        # HIGHEST precision is required for bitwise pass-through: the TPU
+        # default lowers f32 matmuls to single-pass bf16, which would both
+        # perturb the trellis and break the backtrace's exact-replay
+        # equality (observed on hardware as sentinel states in the path).
+        return jax.lax.dot_general(
+            eye_ref[:, :], row,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=dtype,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    m_ref[0] = log_pi_ref[:, :]
+    v_ref[:, :] = to_col(log_pi_ref[:, :] + log_b_ref[0])
+
+    def fwd_step(t, _):
+        cand = v_ref[:, :] + log_a_ref[:, :]  # (N, N): [from i, to j]
+        m = jnp.max(cand, axis=0, keepdims=True)  # (1, N)
+        m_ref[t] = m
+        v_ref[:, :] = to_col(m + log_b_ref[t])
+        return 0
+
+    jax.lax.fori_loop(1, t_len, fwd_step, 0)
+
+    vf = v_ref[:, :] + to_col(log_final_ref[:, :])
+    best = jnp.max(vf)
+    score_ref[0, 0] = best  # SMEM: scalar stores allowed there
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    last = jnp.min(jnp.where(vf == best, col_iota, n))
+    path_ref[t_len - 1, :] = jnp.broadcast_to(last, (lanes,))
+
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+
+    def back_step(k, state):
+        t = t_len - 2 - k
+        onehot = lane_iota == state
+        target = jnp.sum(jnp.where(onehot, m_ref[t + 1], 0.0))
+        v_row = m_ref[t] + log_b_ref[t]  # replays the forward v_t bitwise
+        cand_row = v_row + log_at_ref[state]  # (1, N): v_t[i] + A[i, s]
+        prev = jnp.min(jnp.where(cand_row == target, lane_iota, n))
+        path_ref[t, :] = jnp.broadcast_to(prev, (lanes,))
+        return prev
+
+    jax.lax.fori_loop(0, t_len - 1, back_step, last)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def viterbi_pallas_dense(
+    log_pi: jax.Array,
+    log_a: jax.Array,
+    log_b: jax.Array,
+    log_final: Optional[jax.Array] = None,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Large-N single-utterance Viterbi: ``log_b (T, N)`` ->
+    ``(path (T,) int32, score ())``. Serves the composed word-graph
+    decoder's state counts (hundreds to ~2k states); bit-identical to
+    :func:`lnasr_tpu.ops.trellis.viterbi_scan` in float32.
+    """
+    t_len, n = log_b.shape
+    dtype = log_b.dtype
+    n_pad = max(_LANES, -(-n // _LANES) * _LANES)
+
+    def finite(x):
+        # -inf graph weights (unreachable arcs) must become the finite NEG
+        # sentinel: the identity-matmul relayout computes 0 * x for
+        # off-diagonal entries, and 0 * -inf would inject NaNs
+        return jnp.maximum(x.astype(dtype), NEG)
+
+    pi_p = _pad_to(finite(log_pi)[None, :], n_pad, 1, NEG)
+    a_p = _pad_to(_pad_to(finite(log_a), n_pad, 0, NEG), n_pad, 1, NEG)
+    a_t = jnp.swapaxes(a_p, 0, 1)[:, None, :]  # (N, 1, N): [to, 0, from]
+    lb = _pad_to(finite(log_b), n_pad, 1, NEG)[:, None, :]  # (T, 1, N)
+    fin = jnp.zeros((n,), dtype) if log_final is None else finite(log_final)
+    fin_p = _pad_to(fin[None, :], n_pad, 1, NEG)
+    eye = jnp.eye(n_pad, dtype=dtype)
+
+    path, score = pl.pallas_call(
+        _viterbi_dense_kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_len, 128), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n_pad, 1), dtype),
+            pltpu.VMEM((t_len, 1, n_pad), dtype),
+        ],
+        interpret=interpret,
+    )(pi_p, a_p, a_t, lb, fin_p, eye)
+    return path[:, 0], score[0, 0]
+
+
+def viterbi_dense_vmem_ok(
+    t_len: int, n: int, budget_bytes: int = 12 * 1024 * 1024
+) -> bool:
+    """Whether the dense kernel's working set (emissions + trellis max rows
+    + A, A^T, and identity matrices + path) fits the VMEM budget."""
+    n_pad = max(_LANES, -(-n // _LANES) * _LANES)
+    need = t_len * n_pad * 4 * 2 + 3 * n_pad * n_pad * 4 + t_len * 128 * 4
+    return need <= budget_bytes
+
+
 def viterbi_batched(
     log_pi: jax.Array,
     log_a: jax.Array,

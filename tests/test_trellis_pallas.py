@@ -7,7 +7,12 @@ import jax.numpy as jnp
 import pytest
 
 from lnasr_tpu.ops.trellis import viterbi_scan
-from lnasr_tpu.ops.trellis_pallas import viterbi_batched, viterbi_pallas
+from lnasr_tpu.ops.trellis_pallas import (
+    viterbi_batched,
+    viterbi_dense_vmem_ok,
+    viterbi_pallas,
+    viterbi_pallas_dense,
+)
 
 
 def _model(rng, n):
@@ -37,6 +42,55 @@ def test_pallas_rejects_large_n():
     log_b = jnp.asarray(rng.normal(size=(2, 10, 9)).astype(np.float32))
     with pytest.raises(ValueError):
         viterbi_pallas(log_pi, log_a, log_b, interpret=True)
+
+
+# -- large-N dense kernel (the composed word-graph decoder's regime) ---------
+
+
+@pytest.mark.parametrize("n,t", [(3, 12), (17, 30), (130, 25), (300, 14)])
+def test_dense_kernel_matches_scan(n, t):
+    """Path must be bit-identical (same max/argmax order and tie-break) and
+    the score exactly equal — both run the same float32 op sequence."""
+    rng = np.random.default_rng(n * 17 + t)
+    log_pi, log_a = _model(rng, n)
+    log_b = jnp.asarray(rng.normal(size=(t, n)).astype(np.float32))
+    path, score = viterbi_pallas_dense(log_pi, log_a, log_b, interpret=True)
+    ref = viterbi_scan(log_pi, log_a, log_b)
+    np.testing.assert_array_equal(np.asarray(path), np.asarray(ref.path))
+    np.testing.assert_allclose(float(score), float(ref.score), rtol=1e-6)
+
+
+def test_dense_kernel_with_final_weights():
+    """log_final must steer the terminal argmax exactly as in the scan."""
+    rng = np.random.default_rng(7)
+    n, t = 24, 18
+    log_pi, log_a = _model(rng, n)
+    log_b = jnp.asarray(rng.normal(size=(t, n)).astype(np.float32))
+    # literal -inf finals: the wrapper must sanitize them to the finite
+    # sentinel (0 * -inf in the MXU relayout would inject NaNs)
+    log_final = jnp.asarray(
+        np.where(rng.random(n) < 0.7, -np.inf, 0.0).astype(np.float32)
+    )
+    path, score = viterbi_pallas_dense(
+        log_pi, log_a, log_b, log_final, interpret=True
+    )
+    ref = viterbi_scan(log_pi, log_a, log_b, log_final=log_final)
+    np.testing.assert_array_equal(np.asarray(path), np.asarray(ref.path))
+    np.testing.assert_allclose(float(score), float(ref.score), rtol=1e-6)
+
+
+def test_dense_kernel_degenerate_lengths():
+    rng = np.random.default_rng(8)
+    log_pi, log_a = _model(rng, 5)
+    log_b = jnp.asarray(rng.normal(size=(1, 5)).astype(np.float32))
+    path, score = viterbi_pallas_dense(log_pi, log_a, log_b, interpret=True)
+    ref = viterbi_scan(log_pi, log_a, log_b)
+    np.testing.assert_array_equal(np.asarray(path), np.asarray(ref.path))
+
+
+def test_dense_vmem_budget():
+    assert viterbi_dense_vmem_ok(1000, 512)
+    assert not viterbi_dense_vmem_ok(100000, 1024)
 
 
 def test_batched_dispatch_fallback():
