@@ -25,9 +25,15 @@ from lnasr_tpu.parallel.mesh import make_mesh, mesh_shape_for
 from lnasr_tpu.parallel.training import (
     make_dp_gmmhmm_em_step,
     make_dp_hmm_em_step,
+    make_seq_gmmhmm_em_step,
     train_data_parallel,
+    train_seq_parallel,
 )
-from lnasr_tpu.parallel.seqscan import forward_seq_parallel, viterbi_seq_parallel
+from lnasr_tpu.parallel.seqscan import (
+    backward_seq_parallel,
+    forward_seq_parallel,
+    viterbi_seq_parallel,
+)
 from lnasr_tpu.parallel.model_parallel import make_mp_emission_fn
 from lnasr_tpu.parallel.pipeline import make_stage_mesh, streaming_pipeline_scores
 
@@ -39,7 +45,10 @@ __all__ = [
     "make_dp_gmmhmm_em_step",
     "make_dp_hmm_em_step",
     "train_data_parallel",
+    "backward_seq_parallel",
     "forward_seq_parallel",
+    "make_seq_gmmhmm_em_step",
+    "train_seq_parallel",
     "viterbi_seq_parallel",
     "make_mp_emission_fn",
 ]

@@ -114,6 +114,178 @@ def make_dp_hmm_em_step(mesh: Mesh) -> Callable:
     return jax.jit(fn)
 
 
+def make_seq_gmmhmm_em_step(mesh: Mesh, config: GMMHMMConfig) -> Callable:
+    """Baum-Welch for ONE long utterance with the *time* axis sharded over
+    the mesh's ``seq`` axis: ``(params, obs (T, D), mask (T,)) ->
+    (params, loglik)``.
+
+    Each chunk computes emissions, the forward prefix and backward suffix
+    operator products locally (associative scans over (N, N) operators —
+    :mod:`lnasr_tpu.parallel.seqscan`), exchanges one (N, N) product per
+    chunk over the ICI, shifts one boundary row with ``ppermute`` for the
+    cross-chunk xi transitions, and psums the linear-space sufficient
+    statistics. The M-step runs replicated. Statistics match the
+    single-chip sweep up to float reassociation.
+
+    This closes the round-1 gap: the ``seq`` axis could only run
+    forward/Viterbi, so EM on a long utterance could not ride it.
+    """
+    from lnasr_tpu.parallel.seqscan import (
+        _after_product,
+        _before_product,
+        _chunk_ops,
+        _identity_op,
+        _suffix_scan,
+    )
+    from lnasr_tpu.ops.numerics import log_matmul
+    from lnasr_tpu.ops.numerics import logsumexp as lse
+
+    cov_type, min_std, var_floor = config.cov_type, config.min_std, config.var_floor
+    seq_size = mesh.shape["seq"]
+    shift_up = [(i, i - 1) for i in range(1, seq_size)]  # chunk c+1 -> c
+
+    def shard_fn(params, obs_c, mask_c):
+        idx = jax.lax.axis_index("seq")
+        n = params.log_a.shape[0]
+        log_b_c, log_bm_c = _g._emissions(params, obs_c, cov_type)
+        dtype = log_b_c.dtype
+        mats = _chunk_ops(params.log_a, log_b_c, mask_c, idx == 0)
+
+        # forward: alpha rows for this chunk
+        prefix = jax.lax.associative_scan(log_matmul, mats, axis=0)
+        before = _before_product(prefix[-1], idx, log_matmul, n, dtype)
+        first_b = jax.lax.all_gather(log_b_c[0], "seq")[0]  # global frame 0
+        alpha0 = params.log_pi + first_b
+        alpha_c = lse(
+            alpha0[None, :, None] + log_matmul(before[None], prefix), axis=1
+        )
+
+        # backward: beta rows for this chunk
+        suffix = _suffix_scan(log_matmul, mats)
+        after = _after_product(suffix[0], idx, log_matmul, n, dtype)
+        suffix_next = jnp.concatenate(
+            [suffix[1:], _identity_op(n, dtype)[None]], axis=0
+        )
+        beta_c = lse(log_matmul(suffix_next, after[None]), axis=2)
+
+        # boundary rows from the next chunk (device S-1 receives zeros and
+        # masks them out: the global last frame has no outgoing transition)
+        nb = jax.lax.ppermute(log_b_c[0], "seq", shift_up)
+        nbeta = jax.lax.ppermute(beta_c[0], "seq", shift_up)
+        nmask = jax.lax.ppermute(mask_c[0].astype(jnp.int32), "seq", shift_up)
+        b_next = jnp.concatenate([log_b_c[1:], nb[None]], axis=0)
+        beta_next = jnp.concatenate([beta_c[1:], nbeta[None]], axis=0)
+        mask_next = jnp.concatenate(
+            [mask_c[1:], (nmask > 0)[None]], axis=0
+        )  # frame t+1 valid <=> transition t -> t+1 exists
+
+        # xi / gamma (per-frame normalization is chunk-local)
+        numer = (
+            alpha_c[:, :, None]
+            + params.log_a[None]
+            + (b_next + beta_next)[:, None, :]
+        )
+        tc = numer.shape[0]
+        denom = lse(numer.reshape(tc, n * n), axis=1)
+        xi = numer - denom[:, None, None]
+        xi = jnp.where(mask_next[:, None, None], xi, -jnp.inf)
+        gamma = lse(xi, axis=2)
+        gamma_m = jnp.where(mask_c[:, None], gamma, -jnp.inf)
+
+        # mixture posteriors (gmmhmm.py:89-100 semantics, chunk-local)
+        ab = alpha_c + beta_c
+        log_state_post = ab - lse(ab, axis=1, keepdims=True)
+        log_resp = (params.log_w[None] + log_bm_c) - log_b_c[..., None]
+        xi_mix = log_state_post[..., None] + log_resp
+        xi_mix = jnp.where(mask_c[:, None, None], xi_mix, -jnp.inf)
+        p = jnp.exp(xi_mix)  # (Tc, N, M)
+
+        if cov_type == "diag":
+            second = jnp.einsum("tnm,td->nmd", p, obs_c * obs_c)
+        else:
+            xc = obs_c[:, None, None, :] - params.mu[None]
+            second = jnp.einsum("tnm,tnmd,tnme->nmde", p, xc, xc)
+
+        local = dict(
+            xi=jnp.sum(jnp.exp(xi), axis=0),
+            gamma=jnp.sum(jnp.exp(gamma_m), axis=0),
+            pi=jnp.where(idx == 0, jnp.exp(gamma[0]), 0.0),
+            w=jnp.sum(p, axis=0),
+            occ=jnp.sum(p, axis=0),
+            first=jnp.einsum("tnm,td->nmd", p, obs_c),
+            second=second,
+            loglik=jnp.where(
+                idx == seq_size - 1, lse(alpha_c[-1]), jnp.asarray(0.0, dtype)
+            ),
+        )
+        total = jax.lax.psum(local, "seq")
+        stats = _g.GMMEMStats(
+            log_xi_sum=safe_log(total["xi"]),
+            log_gamma_sum=safe_log(total["gamma"]),
+            log_pi_num=safe_log(total["pi"]),
+            log_w_num=safe_log(total["w"]),
+            occ=total["occ"],
+            first=total["first"],
+            second=total["second"],
+            loglik=total["loglik"],
+        )
+        new_params = _g._maximize(stats, params, cov_type, min_std, var_floor)
+        return new_params, stats.loglik
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P("seq"), P("seq")),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def train_seq_parallel(
+    model,
+    obs,
+    mesh: Mesh,
+    iters: int = 10,
+    mask=None,
+    eps: float = 1e-4,
+    verbose: bool = False,
+):
+    """EM over ONE long utterance, time-sharded across the ``seq`` axis.
+
+    ``obs (T, D)``; T need not divide the axis size (auto-padded with
+    masked frames). Updates ``model`` in place, returns loglik history.
+    """
+    from lnasr_tpu.parallel.seqscan import _pad_time
+
+    obs = jnp.asarray(obs, model.dtype)
+    t = obs.shape[0]
+    if mask is None:
+        mask = jnp.ones((t,), bool)
+    mask = jnp.asarray(mask).astype(bool)
+    seq_size = mesh.shape["seq"]
+    (obs_p, mask_p), t_pad = _pad_time([obs, mask], t, seq_size)
+    mask_p = mask_p.astype(bool) & (jnp.arange(t_pad) < t)
+    obs_p = jax.device_put(obs_p, NamedSharding(mesh, P("seq", None)))
+    mask_p = jax.device_put(mask_p, NamedSharding(mesh, P("seq")))
+
+    step = make_seq_gmmhmm_em_step(mesh, model.config)
+    params = model.params
+    history = []
+    prev = None
+    for it in range(iters):
+        params, loglik = step(params, obs_p, mask_p)
+        loglik = float(loglik)
+        history.append(loglik)
+        if verbose:
+            print(f"Iter {it:3}: loglik {loglik:.6e}")
+        if prev is not None and abs(loglik - prev) < eps:
+            break
+        prev = loglik
+    model._set_params(params)
+    return history
+
+
 def train_data_parallel(
     model,
     obs,

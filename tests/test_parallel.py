@@ -135,6 +135,132 @@ def test_seq_parallel_viterbi(seq):
 
 
 @requires_multidevice
+@pytest.mark.parametrize("seq,t", [(2, 64), (4, 37), (8, 64)])
+def test_seq_parallel_backward(seq, t):
+    """Backward over the seq axis equals the sequential scan, including
+    non-divisible T (auto-padding) and masked tails."""
+    from lnasr_tpu.ops.trellis import backward_scan
+    from lnasr_tpu.parallel import backward_seq_parallel
+
+    rng = np.random.default_rng(seq * 100 + t)
+    n = 5
+    log_a = np.log(rng.dirichlet(np.ones(n), size=n))
+    log_b = rng.normal(size=(t, n))
+    mask = np.ones(t, bool)
+    mask[t - 4 :] = False
+
+    mesh = make_mesh(mesh_shape_for(8, data=8 // seq, seq=seq))
+    for mk in (None, mask):
+        ref = backward_scan(
+            jnp.asarray(log_a), jnp.asarray(log_b),
+            None if mk is None else jnp.asarray(mk),
+        )
+        beta = backward_seq_parallel(
+            jnp.asarray(log_a), jnp.asarray(log_b), mesh,
+            None if mk is None else jnp.asarray(mk),
+        )
+        np.testing.assert_allclose(
+            np.asarray(beta), np.asarray(ref), rtol=1e-9, atol=1e-11
+        )
+
+
+@requires_multidevice
+def test_seq_parallel_forward_masked_nondivisible():
+    from lnasr_tpu.parallel import forward_seq_parallel
+
+    rng = np.random.default_rng(41)
+    n, t = 4, 45  # not divisible by 4
+    log_a = np.log(rng.dirichlet(np.ones(n), size=n))
+    log_pi = np.log(rng.dirichlet(np.ones(n)))
+    log_b = rng.normal(size=(t, n))
+    mask = np.arange(t) < 39
+
+    ref = forward_scan(
+        jnp.asarray(log_pi), jnp.asarray(log_a), jnp.asarray(log_b),
+        jnp.asarray(mask),
+    )
+    mesh = make_mesh(mesh_shape_for(8, data=2, seq=4))
+    alpha, loglik = forward_seq_parallel(
+        jnp.asarray(log_pi), jnp.asarray(log_a), jnp.asarray(log_b), mesh,
+        jnp.asarray(mask),
+    )
+    np.testing.assert_allclose(np.asarray(alpha), np.asarray(ref.alpha),
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(float(loglik), float(ref.loglik), rtol=1e-12)
+
+
+@requires_multidevice
+def test_seq_parallel_viterbi_masked_nondivisible():
+    from lnasr_tpu.ops.trellis import viterbi_scan
+    from lnasr_tpu.parallel import viterbi_seq_parallel
+
+    rng = np.random.default_rng(42)
+    n, t = 4, 30  # not divisible by 8
+    log_a = np.log(rng.dirichlet(np.ones(n), size=n))
+    log_pi = np.log(rng.dirichlet(np.ones(n)))
+    log_b = rng.normal(size=(t, n))
+    mask = np.arange(t) < 26
+
+    ref = viterbi_scan(jnp.asarray(log_pi), jnp.asarray(log_a),
+                       jnp.asarray(log_b), jnp.asarray(mask))
+    mesh = make_mesh(mesh_shape_for(8, data=1, seq=8))
+    path, score = viterbi_seq_parallel(
+        jnp.asarray(log_pi), jnp.asarray(log_a), jnp.asarray(log_b), mesh,
+        jnp.asarray(mask),
+    )
+    np.testing.assert_array_equal(np.asarray(path), np.asarray(ref.path))
+    np.testing.assert_allclose(float(score), float(ref.score), rtol=1e-12)
+
+
+@requires_multidevice
+@pytest.mark.parametrize("seq,t", [(8, 64), (4, 53)])
+def test_seq_parallel_em_matches_single_chip(seq, t):
+    """Baum-Welch on ONE long (masked, non-divisible) utterance sharded
+    over the seq axis must reproduce the single-chip EM sweep."""
+    from lnasr_tpu.parallel import train_seq_parallel
+
+    rng = np.random.default_rng(seq + t)
+    cfg = GMMHMMConfig(n_states=3, n_mix=2, dim=4)
+    obs = rng.normal(size=(t, 4)) + np.sin(np.arange(t))[:, None]
+    mask = np.arange(t) < t - 3
+
+    single = GMMHMM(cfg, dtype=jnp.float64)
+    single.init_from_data(obs, jax.random.PRNGKey(1))
+    p_single, ll_single = gmmhmm_em_step(
+        single.params, jnp.asarray(obs)[None], jnp.asarray(mask)[None],
+        cov_type="diag",
+    )
+
+    mesh = make_mesh(mesh_shape_for(8, data=8 // seq, seq=seq))
+    sharded = GMMHMM(cfg, dtype=jnp.float64)
+    sharded.init_from_data(obs, jax.random.PRNGKey(1))
+    hist = train_seq_parallel(sharded, obs, mesh, iters=1, mask=mask)
+
+    np.testing.assert_allclose(hist[0], float(ll_single), rtol=1e-10)
+    for name in ("log_a", "log_pi", "log_w", "mu", "cov"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(sharded, name)),
+            np.asarray(getattr(p_single, name)),
+            rtol=1e-8, atol=1e-10, err_msg=name,
+        )
+
+
+@requires_multidevice
+def test_seq_parallel_em_multi_iteration_improves():
+    from lnasr_tpu.parallel import train_seq_parallel
+
+    rng = np.random.default_rng(77)
+    cfg = GMMHMMConfig(n_states=2, n_mix=2, dim=3)
+    obs = rng.normal(size=(96, 3)) + np.sign(np.sin(np.arange(96)))[:, None]
+    mesh = make_mesh(mesh_shape_for(8, data=1, seq=8))
+    model = GMMHMM(cfg, dtype=jnp.float64)
+    model.init_from_data(obs, jax.random.PRNGKey(2))
+    hist = train_seq_parallel(model, obs, mesh, iters=6)
+    assert hist[-1] > hist[0]
+    assert np.all(np.isfinite(hist))
+
+
+@requires_multidevice
 @pytest.mark.parametrize("model_axis", [2, 8])
 def test_model_parallel_emissions(model_axis):
     from lnasr_tpu.ops.gaussian import gmm_emissions_diag
