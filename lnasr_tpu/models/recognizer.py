@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import time
 from typing import Dict, List, Mapping, Optional, Sequence, Tuple
 
 import jax
@@ -216,15 +217,39 @@ class Recognizer:
         return " ".join(w for seg in segments for w in seg.words)
 
 
+@dataclasses.dataclass
+class StreamingStats:
+    """Observability for a live stream: totals since ``reset``."""
+
+    audio_seconds: float = 0.0     # audio fed in
+    segments: int = 0              # segments decoded
+    decode_seconds: float = 0.0    # wall time spent in MFCC + Viterbi
+    last_latency_s: float = 0.0    # decode wall time of the latest segment
+    buffer_samples: int = 0        # current retained-buffer size
+
+    @property
+    def rtf(self) -> float:
+        """Decode real-time factor (decode wall time / audio time);
+        << 1 means the decoder keeps up with the stream."""
+        return self.decode_seconds / max(self.audio_seconds, 1e-12)
+
+
 class StreamingRecognizer:
     """Incremental recognition: feed arbitrary-size audio chunks; finalized
     speech segments are decoded and returned as they close.
 
     The host-side streaming VAD (:class:`lnasr_tpu.vad.native.WebRtcVad`
-    by default) classifies 10 ms frames as they arrive; a segment closes
-    after ``min_gap_frames`` of silence, its samples are cut with
+    by default) classifies 10 ms frames as they arrive — all whole frames
+    of a chunk in ONE native call, not a Python per-frame loop; a segment
+    closes after ``min_gap_frames`` of silence, its samples are cut with
     ``pad_frames`` margins, and the batch decoder runs on just that
     segment. ``flush()`` closes any open segment at end of stream.
+
+    Memory is bounded: audio that can no longer belong to any future
+    segment (decoded, or silence beyond the ``pad_frames`` look-back) is
+    dropped, so the retained buffer is O(longest open segment), constant
+    over an unbounded stream. Per-segment decode latency and the stream
+    real-time factor are tracked in :attr:`stats`.
 
     The reference has no streaming path at all — its VADs stream but feed
     nothing (SURVEY.md §3.6).
@@ -246,43 +271,74 @@ class StreamingRecognizer:
     def reset(self) -> None:
         if hasattr(self.vad, "reset"):
             self.vad.reset()
+        # frame bookkeeping is in ABSOLUTE frame indices; the buffer holds
+        # samples starting at frame self._base_f
         self._buffer = np.zeros(0, np.int16)
-        self._consumed_frames = 0
-        self._speech_frames: List[int] = []  # frame indices flagged speech
+        self._base_f = 0
+        self._next_f = 0                       # next frame to classify
         self._open_start: Optional[int] = None
         self._last_speech: Optional[int] = None
+        self.stats = StreamingStats()
 
     def _cut_segment(self, start_f: int, end_f: int) -> Optional[SegmentResult]:
         if end_f - start_f < self.min_len:
             return None
-        a = max(0, (start_f - self.pad)) * self.frame_len
-        b = min(len(self._buffer), (end_f + self.pad) * self.frame_len)
+        a_f = max(0, start_f - self.pad)
+        a = (a_f - self._base_f) * self.frame_len
+        b = min(len(self._buffer), (end_f + self.pad - self._base_f) * self.frame_len)
+        t0 = time.perf_counter()
         feats = self.rec.am.features(self._buffer[a:b])
         words, _, score = self.rec.graph.decode(feats)
-        return SegmentResult(start_s=a / 16000.0, end_s=b / 16000.0,
+        dt = time.perf_counter() - t0
+        self.stats.segments += 1
+        self.stats.decode_seconds += dt
+        self.stats.last_latency_s = dt
+        return SegmentResult(start_s=a_f * self.frame_len / 16000.0,
+                             end_s=(self._base_f * self.frame_len + b) / 16000.0,
                              words=words, score=score)
+
+    def _trim(self) -> None:
+        """Drop buffered audio no future segment can reference: everything
+        before the open segment's padded start, or — with no open segment —
+        before the pad look-back behind the VAD cursor."""
+        keep_f = (self._open_start if self._open_start is not None
+                  else self._next_f) - self.pad
+        keep_f = max(self._base_f, keep_f)
+        drop = (keep_f - self._base_f) * self.frame_len
+        if drop > 0:
+            self._buffer = self._buffer[drop:]
+            self._base_f = keep_f
+        self.stats.buffer_samples = len(self._buffer)
 
     def process(self, chunk) -> List[SegmentResult]:
         """Feed samples; returns segments finalized by this chunk."""
-        self._buffer = np.concatenate([self._buffer, np.asarray(chunk, np.int16)])
-        total_frames = len(self._buffer) // self.frame_len
+        chunk = np.asarray(chunk, np.int16)
+        self._buffer = np.concatenate([self._buffer, chunk])
+        self.stats.audio_seconds += len(chunk) / 16000.0
+        total_f = self._base_f + len(self._buffer) // self.frame_len
         results: List[SegmentResult] = []
-        while self._consumed_frames < total_frames:
-            f = self._consumed_frames
-            frame = self._buffer[f * self.frame_len : (f + 1) * self.frame_len]
-            flag = int(self.vad.process(frame)[0]) if hasattr(self.vad, "process") else 0
-            if flag > 0:
-                if self._open_start is None:
-                    self._open_start = f
-                self._last_speech = f
-            elif self._open_start is not None and self._last_speech is not None:
-                if f - self._last_speech >= self.min_gap:
+        if self._next_f < total_f:
+            # classify every pending whole frame in one native call
+            off = (self._next_f - self._base_f) * self.frame_len
+            n_pend = total_f - self._next_f
+            out = self.vad.process(self._buffer[off : off + n_pend * self.frame_len])
+            flags = out[0] if isinstance(out, tuple) else out
+            for i in range(n_pend):
+                f = self._next_f + i
+                if int(flags[i]) > 0:
+                    if self._open_start is None:
+                        self._open_start = f
+                    self._last_speech = f
+                elif (self._open_start is not None
+                      and self._last_speech is not None
+                      and f - self._last_speech >= self.min_gap):
                     seg = self._cut_segment(self._open_start, self._last_speech + 1)
                     if seg is not None:
                         results.append(seg)
                     self._open_start = None
                     self._last_speech = None
-            self._consumed_frames += 1
+            self._next_f = total_f
+        self._trim()
         return results
 
     def flush(self) -> List[SegmentResult]:
@@ -294,6 +350,7 @@ class StreamingRecognizer:
                 results.append(seg)
         self._open_start = None
         self._last_speech = None
+        self._trim()
         return results
 
 

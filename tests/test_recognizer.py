@@ -150,6 +150,41 @@ def test_streaming_recognizer(trained_recognizer):
     assert [s.words for s in segs2] == [s.words for s in segs]
 
 
+def test_streaming_constant_memory_one_hour(trained_recognizer):
+    """A simulated 1-hour stream must not grow the retained buffer: audio
+    that can no longer join a segment is dropped (the round-1 implementation
+    concatenated forever)."""
+    from lnasr_tpu.models.recognizer import StreamingRecognizer
+    from lnasr_tpu.vad.native import WebRtcVad
+
+    rec, _ = trained_recognizer
+    rng = np.random.default_rng(123)
+    stream = StreamingRecognizer(rec, vad=WebRtcVad(mode=0))
+
+    chunk_s = 2.0
+    n_chunks = int(3600 / chunk_s)
+    word_every = int(240 / chunk_s)  # a word burst every 4 minutes
+    words = list(WORD_F0)
+    max_buffer = 0
+    n_segments = 0
+    for i in range(n_chunks):
+        chunk = _gap(rng, chunk_s)
+        if i % word_every == 5:
+            w = _word_audio(words[(i // word_every) % 3], rng)
+            chunk = np.concatenate([chunk[: len(chunk) - len(w)], w])
+        n_segments += len(stream.process(chunk))
+        max_buffer = max(max_buffer, stream.stats.buffer_samples)
+    n_segments += len(stream.flush())
+
+    assert n_segments >= 10, f"only {n_segments} segments decoded"
+    # bound: one chunk + the longest utterance + VAD pad margins — far
+    # below the 57.6M samples an unbounded buffer would hold
+    assert max_buffer < 5 * SR, f"buffer grew to {max_buffer} samples"
+    assert stream.stats.audio_seconds == pytest.approx(3600, rel=1e-6)
+    assert stream.stats.rtf < 1.0, f"rtf={stream.stats.rtf:.3f}"
+    assert stream.stats.last_latency_s > 0
+
+
 def test_factored_graph_recognizer_matches_dense(trained_recognizer):
     """graph="factored" must transcribe identically to the dense default."""
     rec, rng = trained_recognizer
