@@ -96,6 +96,111 @@ def _cmd_lm_ppl(args) -> int:
     return 0
 
 
+def _read_audio(path: str) -> np.ndarray:
+    from lnasr_tpu.utils.audio import read_pcm, read_wave
+
+    return read_wave(path)[0] if path.endswith(".wav") else read_pcm(path)
+
+
+def _cmd_train_am(args) -> int:
+    """Isolated-unit acoustic-model training from a manifest of labeled
+    audio (lines: ``unit  path/to/audio``), the bootstrap the reference's
+    hard-coded ``AcousticModel`` never had (``recognizer.py:20-26``)."""
+    import json
+
+    import jax.numpy as jnp
+
+    from lnasr_tpu.config import GMMHMMConfig, MFCCConfig
+    from lnasr_tpu.models.recognizer import AcousticModel, train_unit_models
+
+    mfcc_cfg = MFCCConfig(energy_floor=1e-10, mean_norm=args.mean_norm)
+    am_cfg = GMMHMMConfig(n_states=args.states, n_mix=args.mix,
+                          dim=mfcc_cfg.feature_dim)
+    dtype = jnp.float64 if args.f64 else jnp.float32
+    am = AcousticModel(mfcc_config=mfcc_cfg, dtype=dtype)
+
+    examples: dict = {}
+    with open(args.manifest, encoding="utf-8") as fp:
+        for line in fp:
+            line = line.split("#", 1)[0].strip()
+            if not line:
+                continue
+            unit, path = line.split(None, 1)
+            feats = np.asarray(am.mfcc(_read_audio(path.strip())).features)
+            examples.setdefault(unit, []).append(feats)
+    if not examples:
+        print(f"no examples in {args.manifest}", file=sys.stderr)
+        return 1
+
+    am.units = train_unit_models(examples, am_cfg, iters=args.iters,
+                                 dtype=dtype, verbose=True)
+    am.save(args.output)
+    with open(f"{args.output}/am_config.json", "w", encoding="utf-8") as fp:
+        json.dump({
+            "n_states": args.states, "n_mix": args.mix,
+            "dim": mfcc_cfg.feature_dim, "mean_norm": args.mean_norm,
+            "energy_floor": mfcc_cfg.energy_floor,
+            "dtype": "float64" if args.f64 else "float32",
+        }, fp, indent=2)
+    n_ex = sum(len(v) for v in examples.values())
+    print(f"{len(examples)} units / {n_ex} examples -> {args.output}")
+    return 0
+
+
+def _load_am(directory: str):
+    import json
+
+    import jax.numpy as jnp
+
+    from lnasr_tpu.config import GMMHMMConfig, MFCCConfig
+    from lnasr_tpu.models.recognizer import AcousticModel
+
+    with open(f"{directory}/am_config.json", encoding="utf-8") as fp:
+        meta = json.load(fp)
+    mfcc_cfg = MFCCConfig(energy_floor=meta["energy_floor"],
+                          mean_norm=meta["mean_norm"])
+    am_cfg = GMMHMMConfig(n_states=meta["n_states"], n_mix=meta["n_mix"],
+                          dim=meta["dim"])
+    dtype = jnp.float64 if meta["dtype"] == "float64" else jnp.float32
+    return AcousticModel.load(directory, am_cfg, mfcc_cfg, dtype=dtype)
+
+
+def _cmd_recognize(args) -> int:
+    """Audio in, transcript out — the end-to-end capability the reference
+    stubs (``recognizer.py:46-48``). With ``--ref`` prints a WER report."""
+    from lnasr_tpu.models.decoder import DecoderConfig
+    from lnasr_tpu.models.lexicon import Lexicon
+    from lnasr_tpu.models.recognizer import LanguageModel, Recognizer
+    from lnasr_tpu.utils.metrics import wer_details
+
+    am = _load_am(args.am)
+    lexicon = Lexicon.load(args.lex)
+    lm = LanguageModel(args.lm) if args.lm else None
+    vad = None
+    if args.vad == "webrtc":
+        from lnasr_tpu.vad.native import WebRtcVad
+
+        vad = WebRtcVad(mode=args.vad_mode)
+    elif args.vad == "amrwb":
+        from lnasr_tpu.vad.native import AmrWbVad
+
+        vad = AmrWbVad()
+    rec = Recognizer(
+        am, lexicon, lm, vad=vad, graph=args.graph,
+        decoder_config=DecoderConfig(
+            lm_scale=args.lm_scale,
+            word_insertion_penalty=args.word_penalty,
+        ),
+    )
+    hyp = rec.recognize(_read_audio(args.audio))
+    print(hyp)
+    if args.ref is not None:
+        d = wer_details(args.ref.split(), hyp.split())
+        print(f"WER {d['wer']:.3f}  (sub {d['sub']} del {d['del']} "
+              f"ins {d['ins']} / {d['n_ref']} ref words)", file=sys.stderr)
+    return 0
+
+
 def _cmd_bench(args) -> int:
     import bench
 
@@ -135,11 +240,47 @@ def main(argv=None) -> int:
     p.add_argument("model"), p.add_argument("text")
     p.set_defaults(fn=_cmd_lm_ppl)
 
+    p = sub.add_parser("train-am", help="train per-unit acoustic models "
+                       "from a 'unit  audiofile' manifest")
+    p.add_argument("manifest"), p.add_argument("output")
+    p.add_argument("--states", type=int, default=3)
+    p.add_argument("--mix", type=int, default=2)
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--mean-norm", action="store_true",
+                   help="per-utterance cepstral mean subtraction (off by "
+                        "default: connected decoding must match isolated "
+                        "training features)")
+    p.add_argument("--f64", action="store_true")
+    p.add_argument("--tpu", action="store_true",
+                   help="run on the accelerator (default: pin host CPU — "
+                        "these models compile in ms there vs minutes over "
+                        "a remote-TPU tunnel)")
+    p.set_defaults(fn=_cmd_train_am)
+
+    p = sub.add_parser("recognize", help="audio -> text")
+    p.add_argument("audio")
+    p.add_argument("--am", required=True, help="train-am output directory")
+    p.add_argument("--lex", required=True, help="lexicon file")
+    p.add_argument("--lm", default=None, help="ARPA language model")
+    p.add_argument("--vad", choices=["none", "webrtc", "amrwb"], default="none")
+    p.add_argument("--vad-mode", type=int, default=0)
+    p.add_argument("--graph", choices=["auto", "dense", "factored", "trigram"],
+                   default="auto")
+    p.add_argument("--lm-scale", type=float, default=1.0)
+    p.add_argument("--word-penalty", type=float, default=0.0)
+    p.add_argument("--ref", default=None,
+                   help="reference transcript; prints a WER report to stderr")
+    p.add_argument("--tpu", action="store_true",
+                   help="run on the accelerator (default: pin host CPU)")
+    p.set_defaults(fn=_cmd_recognize)
+
     p = sub.add_parser("bench", help="run the headline benchmark")
     p.set_defaults(fn=_cmd_bench)
 
     args = parser.parse_args(argv)
-    if args.command in ("seg", "train-seg", "lm-train", "lm-ppl", "vad"):
+    if args.command in ("seg", "train-seg", "lm-train", "lm-ppl", "vad") or (
+        args.command in ("train-am", "recognize") and not args.tpu
+    ):
         # host-scale tasks: a remote accelerator round-trip (compile over a
         # TPU tunnel) costs minutes for models that run in milliseconds on
         # the host CPU

@@ -47,6 +47,15 @@ def wer(ref: Sequence, hyp: Sequence) -> float:
     return dist / len(ref)
 
 
+def wer_details(ref: Sequence, hyp: Sequence) -> Dict[str, float]:
+    """WER plus its operation breakdown, for scoring reports."""
+    dist, ops = edit_distance(ref, hyp)
+    n_ref = len(ref)
+    rate = (dist / n_ref) if n_ref else (0.0 if not len(hyp) else float("inf"))
+    return {"wer": rate, "sub": ops["sub"], "ins": ops["ins"],
+            "del": ops["del"], "hit": ops["hit"], "n_ref": n_ref}
+
+
 def cer(ref: str, hyp: str) -> float:
     """Character error rate (for the Chinese segmentation/recognition path)."""
     return wer(list(ref), list(hyp))

@@ -1,0 +1,97 @@
+"""CLI end-to-end: train-am -> recognize reproduces a transcript + WER
+report from files alone — the workflow the reference never shipped (no CLI
+anywhere; ``Recognizer.recognize`` is a stub, ``lnasr/recognizer.py:46-48``).
+
+``examples/real_audio_demo.py`` runs the same flow on the reference's real
+recordings; this test keeps the suite fast with synthetic words.
+"""
+
+import numpy as np
+import pytest
+
+from lnasr_tpu.cli import main as cli_main
+from lnasr_tpu.utils.audio import write_pcm
+
+SR = 16000
+WORD_F0 = {"low": 220.0, "mid": 560.0, "high": 1400.0}
+
+
+def _word_audio(word, rng, dur=0.3):
+    n = int(SR * dur)
+    t = np.arange(n) / SR
+    f0 = WORD_F0[word] * (1.0 + 0.01 * rng.normal())
+    sig = sum(np.sin(2 * np.pi * k * f0 * t + rng.uniform(0, 2 * np.pi)) / k
+              for k in range(1, 4))
+    x = (sig * np.hanning(n) * 0.3 + rng.normal(0, 0.01, n)) * 12000
+    return np.clip(x, -32768, 32767).astype(np.int16)
+
+
+def _gap(rng, dur):
+    return rng.normal(0, 60.0, int(SR * dur)).astype(np.int16)
+
+
+@pytest.fixture(scope="module")
+def cli_models(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("cli")
+    rng = np.random.default_rng(3)
+
+    lines = []
+    for w in WORD_F0:
+        for k in range(4):
+            p = tmp / f"{w}{k}.pcm"
+            write_pcm(str(p), _word_audio(w, rng))
+            lines.append(f"{w}\t{p}")
+    for k in range(3):
+        p = tmp / f"sil{k}.pcm"
+        write_pcm(str(p), _gap(rng, 0.4))
+        lines.append(f"<sil>\t{p}")
+    manifest = tmp / "train.manifest"
+    manifest.write_text("\n".join(lines) + "\n")
+
+    amdir = tmp / "am"
+    rc = cli_main(["train-am", str(manifest), str(amdir),
+                   "--states", "3", "--mix", "2", "--iters", "5"])
+    assert rc == 0
+
+    lex = tmp / "words.lex"
+    lex.write_text("".join(f"{w} {w}\n" for w in WORD_F0))
+    corpus = tmp / "corpus.txt"
+    corpus.write_text("low mid high\nhigh mid low\nlow high\nmid mid low\n")
+    lm = tmp / "words.lm"
+    assert cli_main(["lm-train", str(corpus), str(lm), "--order", "2"]) == 0
+    return tmp, str(amdir), str(lex), str(lm), rng
+
+
+def test_cli_recognize_reports_wer(cli_models, capsys):
+    tmp, amdir, lex, lm, rng = cli_models
+    truth = ["high", "low", "mid"]
+    parts = [_gap(rng, 0.2)]
+    for w in truth:
+        parts += [_word_audio(w, rng), _gap(rng, 0.2)]
+    upath = tmp / "utt.pcm"
+    write_pcm(str(upath), np.concatenate(parts))
+
+    rc = cli_main(["recognize", str(upath), "--am", amdir, "--lex", lex,
+                   "--lm", lm, "--lm-scale", "0.5", "--word-penalty", "-40.0",
+                   "--ref", " ".join(truth)])
+    out = capsys.readouterr()
+    assert rc == 0
+    assert out.out.split() == truth
+    assert "WER 0.000" in out.err
+
+
+def test_cli_recognize_without_lm(cli_models, capsys):
+    tmp, amdir, lex, _, rng = cli_models
+    upath = tmp / "single.pcm"
+    write_pcm(str(upath), np.concatenate(
+        [_gap(rng, 0.2), _word_audio("mid", rng), _gap(rng, 0.2)]))
+    rc = cli_main(["recognize", str(upath), "--am", amdir, "--lex", lex])
+    assert rc == 0
+    assert "mid" in capsys.readouterr().out.split()
+
+
+def test_cli_train_am_empty_manifest(tmp_path, capsys):
+    manifest = tmp_path / "empty.manifest"
+    manifest.write_text("# nothing here\n")
+    rc = cli_main(["train-am", str(manifest), str(tmp_path / "am")])
+    assert rc == 1
