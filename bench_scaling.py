@@ -1,0 +1,152 @@
+"""Weak-scaling benchmark of the data-parallel EM step.
+
+BASELINE.md's second bar is >=80% scaling efficiency to 2 hosts; real
+multi-chip hardware is not available here, so this harness measures the
+next-best observable things on an N-virtual-device CPU mesh (the same
+code path the TPU mesh runs — shard_map + psum):
+
+- wall time per EM step at 1..8 devices with a FIXED per-device batch;
+  weak-scaling efficiency t(1)/t(n) (ideal: constant step time). On a
+  shared-core host this measures the framework's sharding + collective
+  overhead (the plumbing BASELINE.md's bar is about), not chip compute;
+- the collective payload per step, computed exactly from the psum'd
+  statistics pytree — the hardware-independent quantity that determines
+  ICI traffic on a real slice (O(N^2 + N*M*D) floats, independent of
+  batch size and sequence length — see lnasr_tpu/parallel/training.py).
+
+Usage:  python bench_scaling.py [--devices 1,2,4,8] [--batch 8] [--t 200]
+Prints one JSON line per device count and a final summary JSON line, and
+writes the whole report to BENCH_SCALING.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def _setup_devices(max_devices: int) -> None:
+    # virtual-mesh harness by design: always host CPU (the env may pin a
+    # single-chip remote TPU platform, which can't host an 8-device mesh).
+    # Env vars are not enough when the interpreter pre-imports jax, so set
+    # the config directly — allowed until backends initialize.
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", max_devices)
+
+
+def _psum_payload_bytes(params, obs_shard, mask_shard, cov_type: str) -> int:
+    """Exact per-device psum payload: the local-statistics pytree the
+    E-step reduces across the 'data' axis."""
+    import jax
+
+    from lnasr_tpu.parallel.training import _gmm_linear_stats
+
+    shapes = jax.eval_shape(
+        lambda p, o, m: _gmm_linear_stats(p, o, m, cov_type),
+        params, obs_shard, mask_shard,
+    )
+    return sum(
+        leaf.size * leaf.dtype.itemsize for leaf in jax.tree.leaves(shapes)
+    )
+
+
+def run(device_counts, per_device_batch: int, t_frames: int, steps: int):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lnasr_tpu.config import GMMHMMConfig
+    from lnasr_tpu.models.gmmhmm import GMMHMM
+    from lnasr_tpu.parallel import make_dp_gmmhmm_em_step, make_mesh, mesh_shape_for
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cfg = GMMHMMConfig(n_states=5, n_mix=8, dim=39)
+    cores = os.cpu_count() or 1
+    rng = np.random.default_rng(0)
+    rows = []
+    t1 = None
+
+    for n in device_counts:
+        mesh = make_mesh(
+            mesh_shape_for(n, data=n), devices=jax.devices()[:n]
+        )
+        b = n * per_device_batch
+        obs = rng.normal(size=(b, t_frames, cfg.dim)).astype(np.float32)
+        mask = np.ones((b, t_frames), bool)
+        model = GMMHMM(cfg, dtype=jnp.float32)
+        model.init_from_data(obs.reshape(-1, cfg.dim), jax.random.PRNGKey(0))
+
+        obs_d = jax.device_put(obs, NamedSharding(mesh, P("data")))
+        mask_d = jax.device_put(mask, NamedSharding(mesh, P("data")))
+        step = make_dp_gmmhmm_em_step(mesh, cfg)
+
+        params, loglik = step(model.params, obs_d, mask_d)  # compile+warm
+        jax.block_until_ready(loglik)
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            params, loglik = step(params, obs_d, mask_d)
+        jax.block_until_ready(loglik)
+        dt = (time.perf_counter() - t0) / steps
+
+        payload = _psum_payload_bytes(
+            model.params, obs[:per_device_batch], mask[:per_device_batch],
+            cfg.cov_type,
+        )
+        if t1 is None:
+            t1 = dt
+        rows.append({
+            "devices": n,
+            "per_device_batch": per_device_batch,
+            "frames": t_frames,
+            "step_seconds": round(dt, 6),
+            "utterances_per_s": round(b / dt, 2),
+            # weak scaling: per-device work fixed, ideal is t(n) == t(1)
+            "weak_scaling_efficiency": round(t1 / dt, 3),
+            "speedup_vs_serial": round(n * t1 / dt, 3),
+            "psum_payload_bytes_per_device": payload,
+            # ring all-reduce moves 2(n-1)/n of the payload per device
+            "ring_allreduce_bytes_per_device": int(2 * (n - 1) / n * payload),
+        })
+        print(json.dumps(rows[-1]))
+
+    max_n = max(device_counts)
+    summary = {
+        "metric": "dp-em weak-scaling efficiency (virtual CPU mesh)",
+        "value": rows[-1]["weak_scaling_efficiency"],
+        "unit": f"t(1)/t({max_n}) at fixed per-device batch ({cores}-core host)",
+        "devices": device_counts,
+        "utterances_per_s": [r["utterances_per_s"] for r in rows],
+        "psum_payload_bytes_per_device": rows[-1]["psum_payload_bytes_per_device"],
+        "note": "virtual devices share host cores, so this measures the "
+                "framework's sharding/collective overhead (plumbing), not "
+                "chip-level compute scaling; collective payload is "
+                "independent of batch and sequence length",
+    }
+    print(json.dumps(summary))
+    return rows, summary
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--devices", default="1,2,4,8")
+    ap.add_argument("--batch", type=int, default=8, help="utterances per device")
+    ap.add_argument("--t", type=int, default=200, help="frames per utterance")
+    ap.add_argument("--steps", type=int, default=5, help="timed steps")
+    ap.add_argument("--out", default="BENCH_SCALING.json")
+    args = ap.parse_args(argv)
+    counts = [int(x) for x in args.devices.split(",")]
+    _setup_devices(max(counts))
+    rows, summary = run(counts, args.batch, args.t, args.steps)
+    if args.out:
+        with open(args.out, "w", encoding="utf-8") as fp:
+            json.dump({"rows": rows, "summary": summary}, fp, indent=2)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
