@@ -45,6 +45,21 @@ int lnasr_wvad_process(void* h, const int16_t* samples, int64_t n_samples,
   return static_cast<int>(n_frames);
 }
 
+// Rate-dispatching batch entry: 10 ms frames at 8/16/32/48 kHz (the
+// reference's per-rate functions, libfvad vad_core.c:629-694). Returns the
+// number of processed frames, or -1 for an unsupported rate.
+int lnasr_wvad_process_rate(void* h, const int16_t* samples, int64_t n_samples,
+                            int sample_rate_hz, int32_t* flags_out) {
+  auto* vad = static_cast<lnasr::WebRtcStyleVad*>(h);
+  const int frame_len = lnasr::WebRtcStyleVad::FrameLenFor(sample_rate_hz);
+  if (frame_len == 0) return -1;
+  const int64_t n_frames = n_samples / frame_len;
+  for (int64_t i = 0; i < n_frames; ++i) {
+    flags_out[i] = vad->ProcessAtRate(samples + i * frame_len, sample_rate_hz);
+  }
+  return static_cast<int>(n_frames);
+}
+
 // ---- AMR-WB-style VAD (256-sample frames) -------------------------------
 
 void* lnasr_awb_create() { return new lnasr::AmrWbVad(); }

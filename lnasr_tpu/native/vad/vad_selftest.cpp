@@ -69,6 +69,32 @@ int main() {
                  frames);
   }
 
+  // multi-rate entries (8/16/32/48 kHz) over the same pseudo-audio
+  for (const int rate : {8000, 16000, 32000, 48000}) {
+    lnasr::WebRtcStyleVad vad;
+    const int frame_len = lnasr::WebRtcStyleVad::FrameLenFor(rate);
+    const int frames = static_cast<int>(audio.size()) / frame_len;
+    int speech = 0;
+    for (int f = 0; f < frames; ++f) {
+      const int flag = vad.ProcessAtRate(audio.data() + f * frame_len, rate);
+      if (flag < 0) {
+        std::fprintf(stderr, "webrtc %d Hz: bad flag %d\n", rate, flag);
+        ++failures;
+      }
+      speech += flag > 0;
+    }
+    std::fprintf(stderr, "webrtc %d Hz: %d/%d speech frames\n", rate, speech,
+                 frames);
+  }
+  {
+    lnasr::WebRtcStyleVad vad;
+    int16_t dummy[480] = {};
+    if (vad.ProcessAtRate(dummy, 44100) != -1) {
+      std::fprintf(stderr, "webrtc: unsupported rate not rejected\n");
+      ++failures;
+    }
+  }
+
   // AMR-WB detector with threshold changes and pitch-tone hints
   {
     lnasr::AmrWbVad vad;

@@ -110,24 +110,80 @@ void WebRtcStyleVad::Reset() {
   for (auto& v : upper_state_) v.fill(0.0f);
   for (auto& v : lower_state_) v.fill(0.0f);
   hp_state_.fill(0.0f);
+  ds32_state_.fill(0.0f);
+  fir48_hist_.fill(0.0f);
 }
 
-void WebRtcStyleVad::Downsample(const int16_t* in, float* out) {
-  // Allpass-pair halfband lowpass with decimation (wvad.py:225-259).
-  float s0 = downsample_state_[0];
-  float s1 = downsample_state_[1];
-  for (int n = 0; n < kFrameLen16k / 2; ++n) {
-    const float x0 = static_cast<float>(in[2 * n]);
-    const float x1 = static_cast<float>(in[2 * n + 1]);
+namespace {
+
+// Allpass-pair halfband lowpass with 2:1 decimation (wvad.py:225-259);
+// outputs truncate toward zero like the int16 conversion in the float port.
+void HalfbandDecimate(const float* in, int n, float* out, float* state) {
+  float s0 = state[0];
+  float s1 = state[1];
+  for (int k = 0; k < n / 2; ++k) {
+    const float x0 = in[2 * k];
+    const float x1 = in[2 * k + 1];
     const float a0 = (s0 + kAllPassUpper * x0) * 0.5f;
     s0 = x0 - kAllPassUpper * a0 * 2.0f;
     const float a1 = (s1 + kAllPassLower * x1) * 0.5f;
     s1 = x1 - kAllPassLower * a1 * 2.0f;
-    // truncate toward zero like the int16 conversion in the float port
-    out[n] = std::trunc(a0 + a1);
+    out[k] = std::trunc(a0 + a1);
   }
-  downsample_state_[0] = s0;
-  downsample_state_[1] = s1;
+  state[0] = s0;
+  state[1] = s1;
+}
+
+// Anti-alias FIR for the 48 kHz -> 16 kHz decimation (the reference C
+// library resamples 48 kHz input down to the 8 kHz analysis band with its
+// fixed-point resampler chain, libfvad vad_core.c:629-652; here a Kaiser
+// windowed sinc at 7 kHz cutoff feeds the same halfband 16->8 stage).
+const std::array<float, WebRtcStyleVad::kFir48Taps>& Fir48Coeffs() {
+  static const std::array<float, WebRtcStyleVad::kFir48Taps> coeffs = [] {
+    std::array<float, WebRtcStyleVad::kFir48Taps> c{};
+    constexpr int taps = WebRtcStyleVad::kFir48Taps;
+    const double fc = 7000.0 / 48000.0;
+    const double beta = 8.0;
+    const double denom = std::cyl_bessel_i(0.0, beta);
+    double sum = 0.0;
+    for (int i = 0; i < taps; ++i) {
+      const double m = i - (taps - 1) / 2.0;
+      const double s =
+          (m == 0.0) ? 2.0 * fc : std::sin(2.0 * M_PI * fc * m) / (M_PI * m);
+      const double r = 2.0 * i / (taps - 1) - 1.0;
+      const double w = std::cyl_bessel_i(0.0, beta * std::sqrt(1.0 - r * r));
+      c[i] = static_cast<float>(s * w / denom);
+      sum += c[i];
+    }
+    for (auto& v : c) v = static_cast<float>(v / sum);
+    return c;
+  }();
+  return coeffs;
+}
+
+// Streaming 3:1 FIR decimation; hist carries the last kFir48Taps-1 inputs.
+void FirDecimate3(const float* in, int n, float* out, float* hist) {
+  constexpr int taps = WebRtcStyleVad::kFir48Taps;
+  constexpr int h = taps - 1;
+  const auto& c = Fir48Coeffs();
+  float ext[480 + h];
+  std::copy(hist, hist + h, ext);
+  std::copy(in, in + n, ext + h);
+  for (int m = 0; m < n / 3; ++m) {
+    const float* base = ext + 3 * m;
+    float acc = 0.0f;
+    for (int t = 0; t < taps; ++t) acc += base[t] * c[taps - 1 - t];
+    out[m] = std::trunc(acc);
+  }
+  std::copy(in + n - h, in + n, hist);
+}
+
+}  // namespace
+
+void WebRtcStyleVad::Downsample(const int16_t* in, float* out) {
+  float f16[kFrameLen16k];
+  for (int i = 0; i < kFrameLen16k; ++i) f16[i] = static_cast<float>(in[i]);
+  HalfbandDecimate(f16, kFrameLen16k, out, downsample_state_.data());
 }
 
 namespace {
@@ -391,9 +447,39 @@ int WebRtcStyleVad::GmmDecision(const float* features, float total_power) {
 }
 
 int WebRtcStyleVad::Process(const int16_t* frame) {
+  return ProcessAtRate(frame, 16000);
+}
+
+int WebRtcStyleVad::ProcessAtRate(const int16_t* frame, int sample_rate_hz) {
   float frame8k[kFrameLen16k / 2];
+  switch (sample_rate_hz) {
+    case 8000:
+      // already the analysis band (libfvad vad_core.c:694-700)
+      for (int i = 0; i < 80; ++i) frame8k[i] = static_cast<float>(frame[i]);
+      break;
+    case 16000:
+      Downsample(frame, frame8k);
+      break;
+    case 32000: {
+      // halfband 32 -> 16, then the standard 16 -> 8 stage
+      float f32[320], f16[160];
+      for (int i = 0; i < 320; ++i) f32[i] = static_cast<float>(frame[i]);
+      HalfbandDecimate(f32, 320, f16, ds32_state_.data());
+      HalfbandDecimate(f16, 160, frame8k, downsample_state_.data());
+      break;
+    }
+    case 48000: {
+      // FIR 3:1 to 16 kHz, then the standard 16 -> 8 stage
+      float f48[480], f16[160];
+      for (int i = 0; i < 480; ++i) f48[i] = static_cast<float>(frame[i]);
+      FirDecimate3(f48, 480, f16, fir48_hist_.data());
+      HalfbandDecimate(f16, 160, frame8k, downsample_state_.data());
+      break;
+    }
+    default:
+      return -1;
+  }
   float features[kNumChannels];
-  Downsample(frame, frame8k);
   const float total_power = CalculateFeatures(frame8k, features);
   return GmmDecision(features, total_power);
 }

@@ -1,5 +1,6 @@
 // WebRTC-style GMM voice activity detector (float arithmetic, streaming).
-// See vad_webrtc.cpp. Feed 160-sample (10 ms @ 16 kHz) frames of 16-bit PCM.
+// See vad_webrtc.cpp. Feed 10 ms frames of 16-bit PCM at 8/16/32/48 kHz
+// (80/160/320/480 samples).
 #ifndef LNASR_NATIVE_VAD_WEBRTC_H_
 #define LNASR_NATIVE_VAD_WEBRTC_H_
 
@@ -13,6 +14,15 @@ class WebRtcStyleVad {
   static constexpr int kFrameLen16k = 160;  // 10 ms @ 16 kHz
   static constexpr int kNumChannels = 6;
   static constexpr int kNumGaussians = 2;
+  static constexpr int kFir48Taps = 48;  // 48 kHz -> 16 kHz anti-alias FIR
+
+  // 10 ms of audio at any supported rate; 0 for unsupported rates.
+  static constexpr int FrameLenFor(int sample_rate_hz) {
+    return (sample_rate_hz == 8000 || sample_rate_hz == 16000 ||
+            sample_rate_hz == 32000 || sample_rate_hz == 48000)
+               ? sample_rate_hz / 100
+               : 0;
+  }
 
   WebRtcStyleVad();
 
@@ -29,6 +39,13 @@ class WebRtcStyleVad {
   // One 10 ms frame @16 kHz -> 0 (noise) or >=1 (speech; values >1 encode
   // hangover frames, matching the reference float port wvad.py:567-580).
   int Process(const int16_t* frame);
+
+  // Rate-dispatching entry like the reference C library's per-rate
+  // functions (libfvad vad_core.c:629-694): the frame is 10 ms at
+  // sample_rate_hz in {8000, 16000, 32000, 48000}; higher rates are
+  // decimated to the 8 kHz analysis band first. Returns -1 for an
+  // unsupported rate.
+  int ProcessAtRate(const int16_t* frame, int sample_rate_hz);
 
  private:
   void Downsample(const int16_t* in, float* out);  // 160 -> 80 samples
@@ -52,6 +69,10 @@ class WebRtcStyleVad {
   std::array<std::array<float, 2>, 5> upper_state_;
   std::array<std::array<float, 2>, 5> lower_state_;
   std::array<float, 4> hp_state_;
+  // multi-rate front states: 32 kHz -> 16 kHz halfband, and the
+  // 48 kHz -> 16 kHz decimate-by-3 FIR history
+  std::array<float, 2> ds32_state_;
+  std::array<float, kFir48Taps - 1> fir48_hist_;
   // thresholds
   int over_hang_max1_ = 8;
   int over_hang_max2_ = 14;

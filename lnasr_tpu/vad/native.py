@@ -36,6 +36,10 @@ def _load() -> ctypes.CDLL:
         ]
         lib.lnasr_wvad_process.argtypes = [ctypes.c_void_p, i16p, ctypes.c_int64, i32p]
         lib.lnasr_wvad_process.restype = ctypes.c_int
+        lib.lnasr_wvad_process_rate.argtypes = [
+            ctypes.c_void_p, i16p, ctypes.c_int64, ctypes.c_int, i32p,
+        ]
+        lib.lnasr_wvad_process_rate.restype = ctypes.c_int
 
         lib.lnasr_awb_create.restype = ctypes.c_void_p
         lib.lnasr_awb_destroy.argtypes = [ctypes.c_void_p]
@@ -52,18 +56,30 @@ def _load() -> ctypes.CDLL:
 
 
 class WebRtcVad:
-    """Streaming WebRTC-style GMM VAD: 10 ms (160-sample) frames @ 16 kHz.
+    """Streaming WebRTC-style GMM VAD over 10 ms frames.
 
-    ``mode`` 0..3 selects the standard aggressiveness presets; ``configure``
-    exposes the raw thresholds like the reference wrapper's ``reset(k1, k2,
-    kl, kg)`` (``third/pywvad/pywvad.pyx:11-23``).
+    ``sample_rate`` may be 8000, 16000 (default), 32000 or 48000 Hz — the
+    same rate surface as the reference C library's per-rate entry points
+    (``libfvad/vad/vad_core.c:629-694``); higher rates are decimated to the
+    8 kHz analysis band in native code. ``mode`` 0..3 selects the standard
+    aggressiveness presets; ``configure`` exposes the raw thresholds like
+    the reference wrapper's ``reset(k1, k2, kl, kg)``
+    (``third/pywvad/pywvad.pyx:11-23``).
     """
 
     FRAME_LEN = 160
+    SAMPLE_RATES = (8000, 16000, 32000, 48000)
 
-    def __init__(self, mode: int = 0):
+    def __init__(self, mode: int = 0, sample_rate: int = 16000):
+        if sample_rate not in self.SAMPLE_RATES:
+            raise ValueError(
+                f"sample_rate must be one of {self.SAMPLE_RATES}, "
+                f"got {sample_rate}"
+            )
         self._lib = _load()
         self._h = self._lib.lnasr_wvad_create()
+        self.sample_rate = sample_rate
+        self.FRAME_LEN = sample_rate // 100  # 10 ms, shadows the class attr
         if mode:
             self.set_mode(mode)
 
@@ -86,15 +102,15 @@ class WebRtcVad:
         )
 
     def process(self, data: np.ndarray) -> np.ndarray:
-        """Whole-utterance processing: int16 samples -> per-10 ms flags
-        (0 noise, 1 speech, >=2 hangover frames)."""
+        """Whole-utterance processing: int16 samples at ``sample_rate`` ->
+        per-10 ms flags (0 noise, 1 speech, >=2 hangover frames)."""
         data = np.ascontiguousarray(data, dtype=np.int16)
         n_frames = len(data) // self.FRAME_LEN
         flags = np.zeros(n_frames, dtype=np.int32)
         if n_frames:
-            self._lib.lnasr_wvad_process(
-                self._h, data[: n_frames * self.FRAME_LEN], n_frames * self.FRAME_LEN,
-                flags,
+            self._lib.lnasr_wvad_process_rate(
+                self._h, data[: n_frames * self.FRAME_LEN],
+                n_frames * self.FRAME_LEN, self.sample_rate, flags,
             )
         return flags
 

@@ -121,19 +121,46 @@ def test_webrtc_native_matches_oracle(vad_audio, mode):
     np.testing.assert_array_equal(native_flags, oracle_flags)
 
 
+@pytest.mark.parametrize("rate", [8000, 32000, 48000])
+def test_webrtc_native_multirate(vad_audio, rate):
+    """8/32/48 kHz entries (reference vad_core.c:629-694): the same real
+    recording resampled to another rate must yield near-identical per-10 ms
+    decisions (not exact: resampling perturbs band energies)."""
+    from lnasr_tpu.utils.audio import resample
+
+    data16 = np.asarray(vad_audio)
+    flags16 = WebRtcVad(mode=0).process(data16) > 0
+
+    other = np.clip(resample(data16.astype(np.float64), 16000, rate),
+                    -32768, 32767).astype(np.int16)
+    vad = WebRtcVad(mode=0, sample_rate=rate)
+    assert vad.FRAME_LEN == rate // 100
+    flags = vad.process(other) > 0
+    n = min(len(flags), len(flags16))
+    agreement = np.mean(flags[:n] == flags16[:n])
+    assert agreement > 0.9, f"{rate} Hz agreement {agreement:.3f}"
+
+
+def test_webrtc_native_rejects_bad_rate():
+    with pytest.raises(ValueError):
+        WebRtcVad(sample_rate=44100)
+
+
 # ---- JAX WebRTC-style VAD vs native ---------------------------------------
 
 
-def test_webrtc_jax_matches_native(vad_audio):
+@pytest.mark.parametrize("mode", [0, 1, 2, 3])
+def test_webrtc_jax_matches_native(vad_audio, mode):
     """The scan-based JAX port and the streaming C++ detector implement the
-    same float algorithm; decisions may differ only on knife-edge frames
-    where a different float summation order flips a threshold."""
+    same float algorithm. In principle a different float summation order
+    could flip a knife-edge threshold comparison on some input; on the
+    reference recording no frame sits on such an edge in ANY mode, so the
+    gate is exact (the docs/parity.md claim, measured)."""
     data = np.asarray(vad_audio)
-    native = WebRtcVad(mode=0).process(data)
-    jaxed = WebRtcVadJax(mode=0).process(data)
+    native = WebRtcVad(mode=mode).process(data)
+    jaxed = WebRtcVadJax(mode=mode).process(data)
     assert jaxed.shape == native.shape
-    agreement = np.mean((jaxed > 0) == (native > 0))
-    assert agreement > 0.97, f"agreement {agreement:.3f}"
+    np.testing.assert_array_equal(np.asarray(jaxed) > 0, native > 0)
 
 
 def test_webrtc_jax_features_finite(vad_audio):
