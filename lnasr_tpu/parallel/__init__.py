@@ -35,10 +35,15 @@ from lnasr_tpu.parallel.seqscan import (
     viterbi_seq_parallel,
 )
 from lnasr_tpu.parallel.model_parallel import make_mp_emission_fn
-from lnasr_tpu.parallel.pipeline import make_stage_mesh, streaming_pipeline_scores
+from lnasr_tpu.parallel.pipeline import (
+    make_stage_mesh,
+    streaming_pipeline_decode,
+    streaming_pipeline_scores,
+)
 
 __all__ = [
     "make_stage_mesh",
+    "streaming_pipeline_decode",
     "streaming_pipeline_scores",
     "make_mesh",
     "mesh_shape_for",

@@ -326,6 +326,45 @@ def test_pipeline_max_semiring_matches_viterbi():
 
 
 @requires_multidevice
+@pytest.mark.parametrize("n_stages", [3, 4, 8])
+def test_pipeline_multistage_matches_scan(n_stages):
+    """S-stage pipelines (S-1 mixture-sharded emission stages + decoder)
+    must reproduce the sequential result exactly — including stage counts
+    that don't divide the mixture count (padding path)."""
+    from lnasr_tpu.ops.gaussian import gmm_emissions_diag
+    from lnasr_tpu.parallel import make_stage_mesh, streaming_pipeline_scores
+
+    log_pi, log_a, log_w, mu, var, feats = _pipeline_fixture(n_stages)
+    log_b, _ = gmm_emissions_diag(feats, log_w, mu, var)
+    ref = forward_scan(log_pi, log_a, log_b)
+    mesh = make_stage_mesh(n_stages=n_stages)
+    got = streaming_pipeline_scores(
+        log_pi, log_a, log_w, mu, var, feats, mesh, chunk=16
+    )
+    np.testing.assert_allclose(float(got), float(ref.loglik), rtol=1e-10)
+
+
+@requires_multidevice
+@pytest.mark.parametrize("n_stages", [2, 4])
+def test_pipeline_decode_matches_viterbi(n_stages):
+    """The pipelined decode path must return the exact Viterbi path and
+    score, not just the best-path score."""
+    from lnasr_tpu.ops.gaussian import gmm_emissions_diag
+    from lnasr_tpu.ops.trellis import viterbi_scan
+    from lnasr_tpu.parallel import make_stage_mesh, streaming_pipeline_decode
+
+    log_pi, log_a, log_w, mu, var, feats = _pipeline_fixture(50 + n_stages)
+    log_b, _ = gmm_emissions_diag(feats, log_w, mu, var)
+    ref = viterbi_scan(log_pi, log_a, log_b)
+    mesh = make_stage_mesh(n_stages=n_stages)
+    path, score = streaming_pipeline_decode(
+        log_pi, log_a, log_w, mu, var, feats, mesh, chunk=16
+    )
+    np.testing.assert_array_equal(np.asarray(path), np.asarray(ref.path))
+    np.testing.assert_allclose(float(score), float(ref.score), rtol=1e-10)
+
+
+@requires_multidevice
 def test_pipeline_rejects_bad_args():
     from lnasr_tpu.parallel import make_stage_mesh, streaming_pipeline_scores
 
