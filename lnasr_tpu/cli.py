@@ -9,6 +9,9 @@ SURVEY.md §5). Subcommands cover the common flows:
     python -m lnasr_tpu.cli seg MODEL.hdf5 "文本..."    # segmentation
     python -m lnasr_tpu.cli lm-train CORPUS OUT.lm     # ARPA n-gram LM
     python -m lnasr_tpu.cli lm-ppl MODEL.lm "text"     # perplexity
+    python -m lnasr_tpu.cli train-am MANIFEST OUT/     # acoustic models
+    python -m lnasr_tpu.cli recognize AUDIO --am OUT/ --lex WORDS.lex \
+        [--lm M.lm --vad webrtc --ref "truth ..."]     # audio -> text (+WER)
     python -m lnasr_tpu.cli bench                      # headline benchmark
 """
 
