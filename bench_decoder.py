@@ -93,22 +93,34 @@ def bench_factored_decode(vocab: int, n_frames: int, dim: int = 8,
                   graph.exit_idx, graph.state_map, graph.pad_mask,
                   graph.log_w, graph.mu, graph.cov)
 
-    def make_loop(nreps: int):
-        @jax.jit
-        def run(frames):
-            def body(i, acc):
-                # index-dependent input defeats loop hoisting; summing the
-                # path keeps the backtrace from being dead-code-eliminated
-                path, score = decode_fn(
-                    frames + i.astype(jnp.float32) * 1e-6, *graph_args
-                )
-                return acc + score + path.sum().astype(jnp.float32)
+    def timed(decode_fn):
+        def make_loop(nreps: int):
+            @jax.jit
+            def run(frames):
+                def body(i, acc):
+                    # index-dependent input defeats loop hoisting; summing
+                    # the path keeps the backtrace live
+                    path, score = decode_fn(
+                        frames + i.astype(jnp.float32) * 1e-6, *graph_args
+                    )
+                    return acc + score + path.sum().astype(jnp.float32)
 
-            return jax.lax.fori_loop(0, nreps, body, jnp.float32(0.0))
+                return jax.lax.fori_loop(0, nreps, body, jnp.float32(0.0))
 
-        return lambda: run(frames)
+            return lambda: run(frames)
 
-    best = _loop_diff_seconds(make_loop)
+        return _loop_diff_seconds(make_loop)
+
+    t_scan = timed(graph._decode_fn)
+    on_tpu = jax.default_backend() == "tpu"
+    from lnasr_tpu.ops.factored_pallas import factored_pallas_ok
+
+    if on_tpu and factored_pallas_ok(n_frames, len(graph.words)):
+        t_kern = timed(graph._decode_fn_pallas)
+        best = min(t_scan, t_kern)
+    else:
+        t_kern = None
+        best = t_scan
     audio_s = n_frames * 0.010
     return {
         "metric": f"composed-graph decode throughput "
@@ -116,7 +128,8 @@ def bench_factored_decode(vocab: int, n_frames: int, dim: int = 8,
         "value": round(audio_s / best, 2),
         "unit": "audio-seconds/s",
         "frames": n_frames,
-        "decode_seconds": round(best, 4),
+        "scan_decode_seconds": round(t_scan, 4),
+        "pallas_decode_seconds": None if t_kern is None else round(t_kern, 4),
         "backend": jax.default_backend(),
     }
 

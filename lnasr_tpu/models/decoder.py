@@ -381,6 +381,77 @@ def _compose_words(
     return words, blocks, emission_params, state_offsets
 
 
+def _factored_grid_inputs(obs, log_pi_w, log_final_w, exit_idx, state_map,
+                          pad_mask, log_w, mu, cov, cov_type):
+    """Shared decode inputs: grid emissions ``(T, V, S)``, initial grid,
+    termination grid."""
+    v_words, s_max = state_map.shape
+    if cov_type == "diag":
+        log_b_real, _ = gmm_emissions_diag(obs, log_w, mu, cov)
+    else:
+        log_b_real, _ = gmm_emissions_full(obs, log_w, mu, cov)
+    log_b = jnp.where(pad_mask[None], log_b_real[:, state_map], -jnp.inf)
+    pi_grid = jnp.full((v_words, s_max), -jnp.inf, log_b.dtype)
+    pi_grid = pi_grid.at[:, 0].set(log_pi_w.astype(log_b.dtype))
+    final_grid = jnp.where(
+        jnp.arange(s_max)[None, :] == exit_idx[:, None],
+        log_final_w[:, None].astype(log_b.dtype),
+        -jnp.inf,
+    )
+    return log_b, pi_grid, final_grid
+
+
+def factored_trellis_scan(log_b, inner_a, hop, pi_grid, final_grid, exit_idx):
+    """Reference lax.scan trellis over the factored grid: ``(T, V, S)``
+    emissions -> ``(path (T,) int32 in v*S+s ids, score)``. ``hop=None``
+    disables the word loop."""
+    t_len, v_words, s_max = log_b.shape
+    loop = hop is not None
+    word_base = jnp.arange(v_words, dtype=jnp.int32)[:, None] * s_max
+
+    def step(vgrid, log_b_t):
+        cand_in = vgrid[:, :, None] + inner_a  # (V, S, S) over pred s
+        within = jnp.max(cand_in, axis=1)
+        wsrc = jnp.argmax(cand_in, axis=1).astype(jnp.int32)
+        bt = word_base + wsrc  # global grid ids (V, S)
+        if loop:
+            exit_v = jnp.take_along_axis(
+                vgrid, exit_idx[:, None].astype(jnp.int32), axis=1
+            )[:, 0]
+            cand_hop = exit_v[:, None] + hop  # (V, V): [from, to]
+            entry = jnp.max(cand_hop, axis=0)
+            esrc = jnp.argmax(cand_hop, axis=0).astype(jnp.int32)
+            hop_wins = entry > within[:, 0]
+            within = within.at[:, 0].set(jnp.maximum(within[:, 0], entry))
+            bt_entry = jnp.where(
+                hop_wins,
+                esrc * s_max + exit_idx[esrc].astype(jnp.int32),
+                bt[:, 0],
+            )
+            bt = bt.at[:, 0].set(bt_entry)
+        new_v = within + log_b_t
+        return new_v, bt
+
+    v0 = pi_grid + log_b[0]
+    v_last, bts = jax.lax.scan(step, v0, log_b[1:])
+
+    # termination is restricted to word-final states
+    v_final = v_last + final_grid
+    flat = v_final.reshape(-1)
+    last_state = jnp.argmax(flat).astype(jnp.int32)
+    score = flat[last_state]
+
+    bts_flat = bts.reshape(bts.shape[0], -1)  # (T-1, V*S)
+
+    def backstep(state_next, bt_row):
+        state_t = bt_row[state_next]
+        return state_t, state_t
+
+    _, head = jax.lax.scan(backstep, last_state, bts_flat, reverse=True)
+    path = jnp.concatenate([head, last_state[None]], axis=0)
+    return path, score
+
+
 class FactoredDecodingGraph:
     """Composed-word Viterbi that exploits the graph's block structure.
 
@@ -489,70 +560,47 @@ class FactoredDecodingGraph:
 
     @functools.cached_property
     def _decode_fn(self):
-        cov_type, loop = self.cov_type, self.hop is not None
-        neg = -jnp.inf
+        cov_type = self.cov_type
 
         def fn(obs, inner_a, hop, log_pi_w, log_final_w, exit_idx, state_map,
                pad_mask, log_w, mu, cov):
-            v_words, s_max = state_map.shape
-            if cov_type == "diag":
-                log_b_real, _ = gmm_emissions_diag(obs, log_w, mu, cov)
-            else:
-                log_b_real, _ = gmm_emissions_full(obs, log_w, mu, cov)
-            log_b = jnp.where(pad_mask[None], log_b_real[:, state_map], neg)
-
-            word_base = jnp.arange(v_words, dtype=jnp.int32)[:, None] * s_max
-
-            def step(vgrid, log_b_t):
-                cand_in = vgrid[:, :, None] + inner_a  # (V, S, S) over pred s
-                within = jnp.max(cand_in, axis=1)
-                wsrc = jnp.argmax(cand_in, axis=1).astype(jnp.int32)
-                bt = word_base + wsrc  # global grid ids (V, S)
-                if loop:
-                    exit_v = jnp.take_along_axis(
-                        vgrid, exit_idx[:, None].astype(jnp.int32), axis=1
-                    )[:, 0]
-                    cand_hop = exit_v[:, None] + hop  # (V, V): [from, to]
-                    entry = jnp.max(cand_hop, axis=0)
-                    esrc = jnp.argmax(cand_hop, axis=0).astype(jnp.int32)
-                    hop_wins = entry > within[:, 0]
-                    within = within.at[:, 0].set(
-                        jnp.maximum(within[:, 0], entry)
-                    )
-                    bt_entry = jnp.where(
-                        hop_wins,
-                        esrc * s_max + exit_idx[esrc].astype(jnp.int32),
-                        bt[:, 0],
-                    )
-                    bt = bt.at[:, 0].set(bt_entry)
-                new_v = within + log_b_t
-                return new_v, bt
-
-            pi_grid = jnp.full((v_words, s_max), neg, log_b.dtype)
-            pi_grid = pi_grid.at[:, 0].set(log_pi_w.astype(log_b.dtype))
-            v0 = pi_grid + log_b[0]
-            v_last, bts = jax.lax.scan(step, v0, log_b[1:])
-
-            # termination is restricted to word-final states
-            final_grid = jnp.where(
-                jnp.arange(s_max)[None, :] == exit_idx[:, None],
-                log_final_w[:, None].astype(v_last.dtype),
-                neg,
+            log_b, pi_grid, final_grid = _factored_grid_inputs(
+                obs, log_pi_w, log_final_w, exit_idx, state_map, pad_mask,
+                log_w, mu, cov, cov_type,
             )
-            v_final = v_last + final_grid
-            flat = v_final.reshape(-1)
-            last_state = jnp.argmax(flat).astype(jnp.int32)
-            score = flat[last_state]
+            return factored_trellis_scan(
+                log_b, inner_a, hop, pi_grid, final_grid, exit_idx
+            )
 
-            bts_flat = bts.reshape(bts.shape[0], -1)  # (T-1, V*S)
+        return jax.jit(fn)
 
-            def backstep(state_next, bt_row):
-                state_t = bt_row[state_next]
-                return state_t, state_t
+    @functools.cached_property
+    def _decode_fn_pallas(self):
+        """Kernel-backed decode: the Pallas forward keeps the graph (hop,
+        inner blocks) VMEM-resident across the utterance and streams the
+        trellis grids out; the backtrace replays argmaxes in an XLA scan.
+        Identical words/path/score to :attr:`_decode_fn` (max-plus is
+        exactly associative, so stored values match the scan bitwise at
+        every feasible state)."""
+        from lnasr_tpu.ops.factored_pallas import (
+            factored_backtrace,
+            factored_forward_pallas,
+        )
 
-            _, head = jax.lax.scan(backstep, last_state, bts_flat, reverse=True)
-            path = jnp.concatenate([head, last_state[None]], axis=0)
-            return path, score
+        cov_type = self.cov_type
+
+        def fn(obs, inner_a, hop, log_pi_w, log_final_w, exit_idx, state_map,
+               pad_mask, log_w, mu, cov):
+            log_b, pi_grid, final_grid = _factored_grid_inputs(
+                obs, log_pi_w, log_final_w, exit_idx, state_map, pad_mask,
+                log_w, mu, cov, cov_type,
+            )
+            vgrids = factored_forward_pallas(
+                pi_grid, inner_a, exit_idx, hop, log_b
+            )
+            return factored_backtrace(
+                vgrids, inner_a, exit_idx, hop, final_grid
+            )
 
         return jax.jit(fn)
 
@@ -560,8 +608,16 @@ class FactoredDecodingGraph:
         """Viterbi over the factored graph. Returns (words, per-frame grid
         state path ``word*S + local``, score) with the same word-recovery
         rule as the dense graph."""
+        from lnasr_tpu.ops.factored_pallas import factored_pallas_ok
+
         obs = jnp.asarray(features, self.dtype)
-        path, score = self._decode_fn(
+        use_kernel = (
+            self.dtype == jnp.float32
+            and jax.default_backend() == "tpu"
+            and factored_pallas_ok(obs.shape[0], len(self.words))
+        )
+        decode_fn = self._decode_fn_pallas if use_kernel else self._decode_fn
+        path, score = decode_fn(
             obs, self.inner_a, self.hop, self.log_pi_w, self.log_final_w,
             self.exit_idx, self.state_map, self.pad_mask,
             self.log_w, self.mu, self.cov,

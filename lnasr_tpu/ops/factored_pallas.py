@@ -1,0 +1,231 @@
+"""Pallas TPU kernel for the factored word-graph Viterbi forward pass.
+
+The recognizer's flagship search (:class:`lnasr_tpu.models.decoder.
+FactoredDecodingGraph`) advances a (V, S) trellis grid per frame: a
+batched within-word max-plus over (V, S, S) blocks plus a (V, V)
+word-hop reduction. As a ``lax.scan`` every step re-touches the 4 MB hop
+matrix and re-lays out the grid; this kernel keeps the graph (inner
+blocks, hop matrix, masks) and the running grid resident in VMEM for the
+whole utterance and streams only emissions in / trellis rows out.
+
+Layout: words on the LANE axis (V padded to a multiple of 128), local
+states on sublanes (S padded to 8). One frame is
+
+  within[j, :] = max_s  grid[s, :] + inner_a[s, j, :]       (8x8 VPU max)
+  exit_row     = max_s  grid[s, :] + exit_mask[s, :]        (1, V)
+  exit_col     = eye @ exit_row^T       (MXU lane->sublane relayout)
+  entry        = max over 'from' chunks of exit_col + hop   (V/8 VPU steps)
+  grid         = merge(within, entry at s=0) + emissions
+
+No backpointers are stored: the kernel writes each frame's grid to HBM
+and the backtrace re-derives every argmax in a cheap XLA scan. Max-plus
+is EXACTLY associative, so the stored values are bitwise equal to the
+``lax.scan`` reference and the replayed argmaxes recover the identical
+path (same first-max and strict ``entry > within`` tie rules as
+``FactoredDecodingGraph._decode_fn``).
+
+Unreachable states carry the finite ``NEG`` sentinel instead of -inf
+(0 * -inf in the MXU relayout would make NaNs); they sit ~1e26 below any
+feasible path and can never win.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lnasr_tpu.ops.trellis_pallas import NEG, _LANES
+
+_SUB = 8
+_TC = 16  # frames per grid step
+
+
+def _fwd_kernel(pi_ref, at_ref, exitm_ref, hopc_ref, eye_ref, logb_ref,
+                out_ref, v_ref, excol_ref, *, has_hop: bool):
+    """One block of _TC frames. Shapes (VMEM): pi (S, V), at (S, S, V) with
+    ``at[s, j, v] = inner_a[v, s, j]``, exitm (S, V), hopc (V/8, 8, V) with
+    ``hopc[c, r, w] = hop[8c + r, w]``, eye (V, V), logb/out (TC, S, V);
+    scratch v (S, V) persists across grid steps."""
+    tc, s_pad, v_pad = logb_ref.shape
+    blk = pl.program_id(0)
+    dtype = v_ref.dtype
+
+    def frame(i, _):
+        t = blk * tc + i
+        lb = logb_ref[i]
+
+        @pl.when(t == 0)
+        def _():
+            v_ref[:, :] = pi_ref[:, :] + lb
+
+        @pl.when(t > 0)
+        def _():
+            vg = v_ref[:, :]
+            within = jnp.max(vg[:, None, :] + at_ref[:, :, :], axis=0)
+            if has_hop:
+                exit_row = jnp.max(vg + exitm_ref[:, :], axis=0,
+                                   keepdims=True)  # (1, V)
+                # lane->sublane relayout as an exact identity matmul (the
+                # TPU default would round through bf16 and break bitwise
+                # replay; HIGHEST passes f32 through exactly)
+                excol_ref[:, :] = jax.lax.dot_general(
+                    eye_ref[:, :], exit_row,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=dtype,
+                    precision=jax.lax.Precision.HIGHEST,
+                )  # (V, 1); scratch ref because Mosaic only slices refs
+
+                def chunk(c, acc):
+                    col = excol_ref[pl.dslice(c * _SUB, _SUB), :]
+                    return jnp.maximum(acc, col + hopc_ref[c])
+
+                acc = jax.lax.fori_loop(
+                    0, hopc_ref.shape[0], chunk,
+                    jnp.full((_SUB, v_pad), NEG, dtype),
+                )
+                entry = jnp.max(acc, axis=0, keepdims=True)  # (1, V)
+                ridx = jax.lax.broadcasted_iota(jnp.int32, (s_pad, v_pad), 0)
+                within = jnp.where(
+                    ridx == 0, jnp.maximum(within, entry), within
+                )
+            v_ref[:, :] = within + lb
+
+        out_ref[i] = v_ref[:, :]
+        return 0
+
+    jax.lax.fori_loop(0, tc, frame, 0)
+
+
+def _finite(x, dtype):
+    return jnp.maximum(jnp.asarray(x, dtype), NEG)
+
+
+def _pad(x, target: int, axis: int):
+    if x.shape[axis] == target:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, target - x.shape[axis])
+    return jnp.pad(x, widths, constant_values=NEG)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def factored_forward_pallas(
+    pi_grid: jax.Array,  # (V, S) initial log-probs (NEG/-inf padded)
+    inner_a: jax.Array,  # (V, S, S)
+    exit_idx: jax.Array,  # (V,) int32
+    hop: Optional[jax.Array],  # (V, V) or None (loop=False)
+    log_b_grid: jax.Array,  # (T, V, S) emissions on the grid
+    interpret: bool = False,
+) -> jax.Array:
+    """All trellis grids ``(T, V, S)`` of the factored search — bitwise
+    equal (max-plus is exactly associative) to the ``lax.scan`` carry in
+    :meth:`FactoredDecodingGraph._decode_fn` at every feasible state."""
+    t_len, v_words, s_max = log_b_grid.shape
+    dtype = log_b_grid.dtype
+    v_pad = max(_LANES, -(-v_words // _LANES) * _LANES)
+    t_pad = -(-t_len // _TC) * _TC
+
+    pi = _pad(_pad(_finite(pi_grid, dtype), v_pad, 0).T, _SUB, 0)  # (S, V)
+    at = jnp.transpose(
+        _pad(_pad(_pad(_finite(inner_a, dtype), v_pad, 0), _SUB, 1), _SUB, 2),
+        (1, 2, 0),
+    )  # (S, S, V)
+    exitm = jnp.where(
+        jnp.arange(_SUB)[:, None] == _pad_idx(exit_idx, v_pad)[None, :],
+        0.0, NEG,
+    ).astype(dtype)  # (S, V); padded words have exit_idx sentinel -1 -> NEG
+    if hop is not None:
+        hop_p = _pad(_pad(_finite(hop, dtype), v_pad, 0), v_pad, 1)
+        hopc = hop_p.reshape(v_pad // _SUB, _SUB, v_pad)
+    else:
+        hopc = jnp.full((1, _SUB, v_pad), NEG, dtype)
+    eye = jnp.eye(v_pad, dtype=dtype)
+    lb = jnp.transpose(
+        _pad(_pad(_finite(log_b_grid, dtype), v_pad, 1), _SUB, 2), (0, 2, 1)
+    )
+    if t_pad != t_len:
+        lb = jnp.pad(lb, [(0, t_pad - t_len), (0, 0), (0, 0)],
+                     constant_values=NEG)
+
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, has_hop=hop is not None),
+        grid=(t_pad // _TC,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # pi
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # at
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # exitm
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # hopc
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # eye
+            pl.BlockSpec((_TC, _SUB, v_pad), lambda b: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((_TC, _SUB, v_pad), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((t_pad, _SUB, v_pad), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((_SUB, v_pad), dtype),
+            pltpu.VMEM((v_pad, 1), dtype),
+        ],
+        interpret=interpret,
+    )(pi, at, exitm, hopc, eye, lb)
+    return jnp.transpose(out[:t_len, :s_max, :v_words], (0, 2, 1))
+
+
+def _pad_idx(exit_idx, v_pad):
+    idx = jnp.asarray(exit_idx, jnp.int32)
+    if idx.shape[0] < v_pad:
+        idx = jnp.pad(idx, (0, v_pad - idx.shape[0]), constant_values=-1)
+    return idx
+
+
+def factored_backtrace(
+    vgrids: jax.Array,  # (T, V, S)
+    inner_a: jax.Array,  # (V, S, S)
+    exit_idx: jax.Array,  # (V,)
+    hop: Optional[jax.Array],  # (V, V) or None
+    log_final_grid: jax.Array,  # (V, S) termination weights
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact-replay backtrace over stored grids: ``(path (T,) int32 in
+    v*S+s ids, score)``. Re-derives each step's argmax with the same
+    first-max / strict ``entry > within`` rules as the scan decoder."""
+    t_len, v_words, s_max = vgrids.shape
+    exit_idx = jnp.asarray(exit_idx, jnp.int32)
+
+    flat = (vgrids[-1] + log_final_grid).reshape(-1)
+    last = jnp.argmax(flat).astype(jnp.int32)
+    score = flat[last]
+
+    def backstep(state, vprev):
+        v_w = state // s_max
+        j = state % s_max
+        cand = vprev[v_w] + inner_a[v_w, :, j]  # (S,)
+        m = jnp.max(cand)
+        pred = (v_w * s_max + jnp.argmax(cand)).astype(jnp.int32)
+        if hop is not None:
+            exit_vals = jnp.take_along_axis(
+                vprev, exit_idx[:, None], axis=1
+            )[:, 0]
+            hop_cand = exit_vals + hop[:, v_w]
+            esrc = jnp.argmax(hop_cand).astype(jnp.int32)
+            use_hop = (j == 0) & (jnp.max(hop_cand) > m)
+            pred = jnp.where(use_hop, esrc * s_max + exit_idx[esrc], pred)
+        return pred, pred
+
+    _, head = jax.lax.scan(backstep, last, vgrids[:-1], reverse=True)
+    return jnp.concatenate([head, last[None]]), score
+
+
+def factored_pallas_ok(t_len: int, v_words: int,
+                       vmem_budget: int = 13 * 1024 * 1024,
+                       hbm_budget: int = 2 * 1024**3) -> bool:
+    """Whether the kernel's resident graph (hop + eye + blocks) fits VMEM
+    and the stored grids fit a sane HBM budget."""
+    v_pad = max(_LANES, -(-v_words // _LANES) * _LANES)
+    vmem = (2 * v_pad * v_pad + _SUB * _SUB * v_pad + 3 * _SUB * v_pad
+            + 2 * _TC * _SUB * v_pad) * 4
+    hbm = (-(-t_len // _TC) * _TC) * _SUB * v_pad * 4
+    return vmem <= vmem_budget and hbm <= hbm_budget

@@ -1,0 +1,128 @@
+"""Factored word-graph Pallas kernel vs the lax.scan decoder: identical
+paths and scores (max-plus is exactly associative, so the streamed trellis
+grids match the scan carry bitwise at every feasible state)."""
+
+import types
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lnasr_tpu.config import GMMHMMConfig
+from lnasr_tpu.models.decoder import (
+    DecoderConfig,
+    FactoredDecodingGraph,
+    _factored_grid_inputs,
+    factored_trellis_scan,
+)
+from lnasr_tpu.models.lexicon import Lexicon
+from lnasr_tpu.ops.factored_pallas import (
+    factored_backtrace,
+    factored_forward_pallas,
+    factored_pallas_ok,
+)
+from lnasr_tpu.ops.gaussian import gmm_emissions_diag
+
+
+def _unit(mean, n_states, dim, rng):
+    """Numpy stand-in unit (duck-typed for graph composition)."""
+    with np.errstate(divide="ignore"):
+        log_a = np.log(np.where(np.eye(n_states) + np.eye(n_states, k=1) > 0,
+                                0.5, 0.0)).astype(np.float32)
+    return types.SimpleNamespace(
+        n=n_states,
+        config=GMMHMMConfig(n_states=n_states, n_mix=1, dim=dim),
+        log_a=log_a,
+        log_w=np.zeros((n_states, 1), np.float32),
+        mu=(mean[None, None, :]
+            + rng.normal(scale=0.3, size=(n_states, 1, dim))).astype(np.float32),
+        cov=np.full((n_states, 1, dim), 0.1, np.float32),
+    )
+
+
+def _graph(v, dim=5, loop=True, mixed_lengths=False, seed=0):
+    rng = np.random.default_rng(seed)
+    means = rng.normal(scale=8.0, size=(v, dim))
+    units = {
+        f"w{i:03d}": _unit(means[i], 2 + (i % 3 if mixed_lengths else 1),
+                           dim, rng)
+        for i in range(v)
+    }
+    lex = Lexicon.whole_word(sorted(units))
+    graph = FactoredDecodingGraph.build(
+        lex, units, None, DecoderConfig(loop=loop), dtype=jnp.float32
+    )
+    return graph, rng
+
+
+def _grid_inputs(graph, obs):
+    """ONE emission computation feeding both trellises — the bitwise
+    kernel-vs-scan claim is about the trellis, not about XLA fusing the
+    emission GEMM differently across separately-jitted programs."""
+    return _factored_grid_inputs(
+        jnp.asarray(obs, jnp.float32), graph.log_pi_w, graph.log_final_w,
+        graph.exit_idx, graph.state_map, graph.pad_mask,
+        graph.log_w, graph.mu, graph.cov, graph.cov_type,
+    )
+
+
+def _kernel_decode(graph, obs):
+    log_b, pi_grid, final_grid = _grid_inputs(graph, obs)
+    vgrids = factored_forward_pallas(
+        pi_grid, graph.inner_a, graph.exit_idx, graph.hop, log_b,
+        interpret=True,
+    )
+    return factored_backtrace(
+        vgrids, graph.inner_a, graph.exit_idx, graph.hop, final_grid
+    )
+
+
+def _scan_decode(graph, obs):
+    log_b, pi_grid, final_grid = _grid_inputs(graph, obs)
+    return factored_trellis_scan(
+        log_b, graph.inner_a, graph.hop, pi_grid, final_grid, graph.exit_idx
+    )
+
+
+@pytest.mark.parametrize(
+    "v,t,mixed", [(5, 19, True), (12, 40, False), (130, 17, True)]
+)
+def test_kernel_matches_scan(v, t, mixed):
+    graph, rng = _graph(v, mixed_lengths=mixed, seed=v)
+    obs = rng.normal(scale=8.0, size=(t, 5)).astype(np.float32)
+    path_k, score_k = _kernel_decode(graph, obs)
+    path_s, score_s = _scan_decode(graph, obs)
+    np.testing.assert_array_equal(np.asarray(path_k), np.asarray(path_s))
+    assert float(score_k) == float(score_s)
+
+
+def test_kernel_matches_scan_no_loop():
+    graph, rng = _graph(6, loop=False, seed=3)
+    assert graph.hop is None
+    obs = rng.normal(scale=8.0, size=(9, 5)).astype(np.float32)
+    path_k, score_k = _kernel_decode(graph, obs)
+    path_s, score_s = _scan_decode(graph, obs)
+    np.testing.assert_array_equal(np.asarray(path_k), np.asarray(path_s))
+    assert float(score_k) == float(score_s)
+
+
+def test_kernel_decodes_planted_sequence():
+    """End to end through the graph: planted word sequence recovered."""
+    graph, rng = _graph(8, seed=11)
+    mu = np.asarray(graph.mu)
+    seq_words = ["w002", "w005", "w000"]
+    frames = []
+    for w in seq_words:
+        wi = graph.words.index(w)
+        for s in range(int(np.asarray(graph.exit_idx)[wi]) + 1):
+            row = int(np.asarray(graph.state_map)[wi, s])
+            frames += [mu[row, 0] + rng.normal(scale=0.05, size=5)] * 3
+    path, score = _kernel_decode(graph, np.asarray(frames, np.float32))
+    assert graph._path_to_words(np.asarray(path)) == seq_words
+    assert np.isfinite(float(score))
+
+
+def test_budget_guard():
+    assert factored_pallas_ok(2000, 1000)
+    assert not factored_pallas_ok(2000, 4000)  # hop+eye exceed VMEM
