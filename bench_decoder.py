@@ -27,23 +27,24 @@ def _sync(x):
     return x
 
 
-def _loop_diff_seconds(make_loop, reps: int = 10, trials: int = 3) -> float:
+def _loop_diff_seconds(make_loop, reps: int = 20, trials: int = 5) -> float:
     """Per-iteration seconds via the loop-difference method (as bench.py):
     run the computation 1 and 1+reps times inside one on-device fori_loop
     and divide the wall-clock difference by reps — tunneled-dispatch
-    overhead cancels."""
+    overhead cancels. Best-of-trials per loop variant keeps one noisy
+    dispatch from driving the difference negative."""
     run_1, run_n = make_loop(1), make_loop(1 + reps)
     _sync(run_1())
     _sync(run_n())  # compile both
-    best = np.inf
-    for _ in range(trials):
-        t0 = time.perf_counter()
-        _sync(run_1())
-        t1 = time.perf_counter()
-        _sync(run_n())
-        t2 = time.perf_counter()
-        best = min(best, ((t2 - t1) - (t1 - t0)) / reps)
-    return best
+    t1 = min(_timed_once(run_1) for _ in range(trials))
+    tn = min(_timed_once(run_n) for _ in range(trials))
+    return max(tn - t1, 1e-9) / reps
+
+
+def _timed_once(fn) -> float:
+    t0 = time.perf_counter()
+    _sync(fn())
+    return time.perf_counter() - t0
 
 
 def bench_factored_decode(vocab: int, n_frames: int, dim: int = 8,
@@ -162,7 +163,7 @@ def bench_dense_kernel(n: int, t_len: int, repeats: int = 5) -> dict:
 
             return lambda: run(log_b)
 
-        return _loop_diff_seconds(make_loop, repeats)
+        return _loop_diff_seconds(make_loop)
 
     def scan_decode(lb):
         res = viterbi_scan(log_pi, log_a, lb)

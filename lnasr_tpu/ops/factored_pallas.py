@@ -14,7 +14,7 @@ states on sublanes (S padded to 8). One frame is
   within[j, :] = max_s  grid[s, :] + inner_a[s, j, :]       (8x8 VPU max)
   exit_row     = max_s  grid[s, :] + exit_mask[s, :]        (1, V)
   exit_col     = eye @ exit_row^T       (MXU lane->sublane relayout)
-  entry        = max over 'from' chunks of exit_col + hop   (V/8 VPU steps)
+  entry        = max over 'from' of exit_col + hop     (one fused (V,V) op)
   grid         = merge(within, entry at s=0) + emissions
 
 No backpointers are stored: the kernel writes each frame's grid to HBM
@@ -46,12 +46,12 @@ _SUB = 8
 _TC = 16  # frames per grid step
 
 
-def _fwd_kernel(pi_ref, at_ref, exitm_ref, hopc_ref, eye_ref, logb_ref,
-                out_ref, v_ref, excol_ref, *, has_hop: bool):
+def _fwd_kernel(pi_ref, at_ref, exitm_ref, hop_ref, eye_ref, logb_ref,
+                out_ref, v_ref, *, has_hop: bool):
     """One block of _TC frames. Shapes (VMEM): pi (S, V), at (S, S, V) with
-    ``at[s, j, v] = inner_a[v, s, j]``, exitm (S, V), hopc (V/8, 8, V) with
-    ``hopc[c, r, w] = hop[8c + r, w]``, eye (V, V), logb/out (TC, S, V);
-    scratch v (S, V) persists across grid steps."""
+    ``at[s, j, v] = inner_a[v, s, j]``, exitm (S, V), hop (V, V), eye
+    (V, V), logb/out (TC, S, V); scratch v (S, V) persists across grid
+    steps."""
     tc, s_pad, v_pad = logb_ref.shape
     blk = pl.program_id(0)
     dtype = v_ref.dtype
@@ -74,22 +74,17 @@ def _fwd_kernel(pi_ref, at_ref, exitm_ref, hopc_ref, eye_ref, logb_ref,
                 # lane->sublane relayout as an exact identity matmul (the
                 # TPU default would round through bf16 and break bitwise
                 # replay; HIGHEST passes f32 through exactly)
-                excol_ref[:, :] = jax.lax.dot_general(
+                exit_col = jax.lax.dot_general(
                     eye_ref[:, :], exit_row,
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=dtype,
                     precision=jax.lax.Precision.HIGHEST,
-                )  # (V, 1); scratch ref because Mosaic only slices refs
-
-                def chunk(c, acc):
-                    col = excol_ref[pl.dslice(c * _SUB, _SUB), :]
-                    return jnp.maximum(acc, col + hopc_ref[c])
-
-                acc = jax.lax.fori_loop(
-                    0, hopc_ref.shape[0], chunk,
-                    jnp.full((_SUB, v_pad), NEG, dtype),
-                )
-                entry = jnp.max(acc, axis=0, keepdims=True)  # (1, V)
+                )  # (V, 1)
+                # one fused (V, V) add + full-axis max (a chunked fori_loop
+                # here ran slower than the lax.scan decoder: 128 tiny loop
+                # iterations starve the VPU)
+                entry = jnp.max(exit_col + hop_ref[:, :], axis=0,
+                                keepdims=True)  # (1, V)
                 ridx = jax.lax.broadcasted_iota(jnp.int32, (s_pad, v_pad), 0)
                 within = jnp.where(
                     ridx == 0, jnp.maximum(within, entry), within
@@ -142,9 +137,8 @@ def factored_forward_pallas(
     ).astype(dtype)  # (S, V); padded words have exit_idx sentinel -1 -> NEG
     if hop is not None:
         hop_p = _pad(_pad(_finite(hop, dtype), v_pad, 0), v_pad, 1)
-        hopc = hop_p.reshape(v_pad // _SUB, _SUB, v_pad)
     else:
-        hopc = jnp.full((1, _SUB, v_pad), NEG, dtype)
+        hop_p = jnp.full((_SUB, v_pad), NEG, dtype)  # unused placeholder
     eye = jnp.eye(v_pad, dtype=dtype)
     lb = jnp.transpose(
         _pad(_pad(_finite(log_b_grid, dtype), v_pad, 1), _SUB, 2), (0, 2, 1)
@@ -160,18 +154,15 @@ def factored_forward_pallas(
             pl.BlockSpec(memory_space=pltpu.VMEM),  # pi
             pl.BlockSpec(memory_space=pltpu.VMEM),  # at
             pl.BlockSpec(memory_space=pltpu.VMEM),  # exitm
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # hopc
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # hop
             pl.BlockSpec(memory_space=pltpu.VMEM),  # eye
             pl.BlockSpec((_TC, _SUB, v_pad), lambda b: (b, 0, 0)),
         ],
         out_specs=pl.BlockSpec((_TC, _SUB, v_pad), lambda b: (b, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((t_pad, _SUB, v_pad), dtype),
-        scratch_shapes=[
-            pltpu.VMEM((_SUB, v_pad), dtype),
-            pltpu.VMEM((v_pad, 1), dtype),
-        ],
+        scratch_shapes=[pltpu.VMEM((_SUB, v_pad), dtype)],
         interpret=interpret,
-    )(pi, at, exitm, hopc, eye, lb)
+    )(pi, at, exitm, hop_p, eye, lb)
     return jnp.transpose(out[:t_len, :s_max, :v_words], (0, 2, 1))
 
 
