@@ -49,10 +49,11 @@ from lnasr_tpu.ops.gaussian import gmm_emissions_diag, gmm_emissions_full
 from lnasr_tpu.ops.trellis import viterbi_scan
 
 
-def dense_viterbi(log_pi, log_a, log_b, log_final=None):
+def dense_viterbi(log_pi, log_a, log_b, log_final=None, mask=None):
     """Dense-graph Viterbi dispatch: the in-VMEM Pallas kernel on TPU for
     float32 graphs that fit the VMEM budget (bit-identical to the scan),
-    the ``lax.scan`` trellis otherwise."""
+    the ``lax.scan`` trellis otherwise. Masked (bucket-padded) decodes
+    take the scan path, whose identity-step semantics cover them."""
     from lnasr_tpu.ops.trellis_pallas import (
         viterbi_dense_vmem_ok,
         viterbi_pallas_dense,
@@ -60,12 +61,13 @@ def dense_viterbi(log_pi, log_a, log_b, log_final=None):
 
     t_len, n = log_b.shape
     if (
-        log_b.dtype == jnp.float32
+        mask is None
+        and log_b.dtype == jnp.float32
         and jax.default_backend() == "tpu"
         and viterbi_dense_vmem_ok(t_len, n)
     ):
         return viterbi_pallas_dense(log_pi, log_a, log_b, log_final)
-    res = viterbi_scan(log_pi, log_a, log_b, log_final=log_final)
+    res = viterbi_scan(log_pi, log_a, log_b, mask=mask, log_final=log_final)
     return res.path, res.score
 
 _LN10 = math.log(10.0)
@@ -279,26 +281,30 @@ class DecodingGraph:
     def _decode_fn(self):
         cov_type = self.cov_type
 
-        def fn(obs, log_a, log_pi, log_final, log_w, mu, cov):
+        def fn(obs, mask, log_a, log_pi, log_final, log_w, mu, cov):
             if cov_type == "diag":
                 log_b, _ = gmm_emissions_diag(obs, log_w, mu, cov)
             else:
                 log_b, _ = gmm_emissions_full(obs, log_w, mu, cov)
-            return dense_viterbi(log_pi, log_a, log_b, log_final)
+            return dense_viterbi(log_pi, log_a, log_b, log_final, mask)
 
         return jax.jit(fn)
 
-    def decode(self, features) -> Tuple[List[str], np.ndarray, float]:
+    def decode(self, features,
+               mask=None) -> Tuple[List[str], np.ndarray, float]:
         """Viterbi over the composed graph.
 
         Returns (word sequence, per-frame composed-state path, score).
         Word instances are recovered from the path: a new word starts at
         frame 0 and at every entry-state arrival from a word-final state
-        or another word.
+        or another word. ``mask (T,)`` marks valid frames for
+        shape-bucketed (padded) decoding.
         """
         obs = jnp.asarray(features, self.dtype)
+        if mask is not None:
+            mask = jnp.asarray(mask, bool)
         path, score = self._decode_fn(
-            obs, self.log_a, self.log_pi, self.log_final,
+            obs, mask, self.log_a, self.log_pi, self.log_final,
             self.log_w, self.mu, self.cov,
         )
         path = np.asarray(path)
@@ -401,15 +407,20 @@ def _factored_grid_inputs(obs, log_pi_w, log_final_w, exit_idx, state_map,
     return log_b, pi_grid, final_grid
 
 
-def factored_trellis_scan(log_b, inner_a, hop, pi_grid, final_grid, exit_idx):
+def factored_trellis_scan(log_b, inner_a, hop, pi_grid, final_grid, exit_idx,
+                          mask=None):
     """Reference lax.scan trellis over the factored grid: ``(T, V, S)``
     emissions -> ``(path (T,) int32 in v*S+s ids, score)``. ``hop=None``
-    disables the word loop."""
+    disables the word loop. Masked frames carry the identity operator
+    (grid unchanged, self backpointers), so a padded decode equals the
+    unpadded one — the basis of shape-bucketed serving."""
     t_len, v_words, s_max = log_b.shape
     loop = hop is not None
     word_base = jnp.arange(v_words, dtype=jnp.int32)[:, None] * s_max
+    self_ids = word_base + jnp.arange(s_max, dtype=jnp.int32)[None, :]
 
-    def step(vgrid, log_b_t):
+    def step(vgrid, inputs):
+        log_b_t, valid = inputs
         cand_in = vgrid[:, :, None] + inner_a  # (V, S, S) over pred s
         within = jnp.max(cand_in, axis=1)
         wsrc = jnp.argmax(cand_in, axis=1).astype(jnp.int32)
@@ -429,11 +440,13 @@ def factored_trellis_scan(log_b, inner_a, hop, pi_grid, final_grid, exit_idx):
                 bt[:, 0],
             )
             bt = bt.at[:, 0].set(bt_entry)
-        new_v = within + log_b_t
+        new_v = jnp.where(valid, within + log_b_t, vgrid)
+        bt = jnp.where(valid, bt, self_ids)
         return new_v, bt
 
+    valid = jnp.ones((t_len,), bool) if mask is None else mask
     v0 = pi_grid + log_b[0]
-    v_last, bts = jax.lax.scan(step, v0, log_b[1:])
+    v_last, bts = jax.lax.scan(step, v0, (log_b[1:], valid[1:]))
 
     # termination is restricted to word-final states
     v_final = v_last + final_grid
@@ -562,14 +575,14 @@ class FactoredDecodingGraph:
     def _decode_fn(self):
         cov_type = self.cov_type
 
-        def fn(obs, inner_a, hop, log_pi_w, log_final_w, exit_idx, state_map,
-               pad_mask, log_w, mu, cov):
+        def fn(obs, mask, inner_a, hop, log_pi_w, log_final_w, exit_idx,
+               state_map, pad_mask, log_w, mu, cov):
             log_b, pi_grid, final_grid = _factored_grid_inputs(
                 obs, log_pi_w, log_final_w, exit_idx, state_map, pad_mask,
                 log_w, mu, cov, cov_type,
             )
             return factored_trellis_scan(
-                log_b, inner_a, hop, pi_grid, final_grid, exit_idx
+                log_b, inner_a, hop, pi_grid, final_grid, exit_idx, mask
             )
 
         return jax.jit(fn)
@@ -589,28 +602,32 @@ class FactoredDecodingGraph:
 
         cov_type = self.cov_type
 
-        def fn(obs, inner_a, hop, log_pi_w, log_final_w, exit_idx, state_map,
-               pad_mask, log_w, mu, cov):
+        def fn(obs, mask, inner_a, hop, log_pi_w, log_final_w, exit_idx,
+               state_map, pad_mask, log_w, mu, cov):
             log_b, pi_grid, final_grid = _factored_grid_inputs(
                 obs, log_pi_w, log_final_w, exit_idx, state_map, pad_mask,
                 log_w, mu, cov, cov_type,
             )
             vgrids = factored_forward_pallas(
-                pi_grid, inner_a, exit_idx, hop, log_b
+                pi_grid, inner_a, exit_idx, hop, log_b, mask
             )
             return factored_backtrace(
-                vgrids, inner_a, exit_idx, hop, final_grid
+                vgrids, inner_a, exit_idx, hop, final_grid, mask
             )
 
         return jax.jit(fn)
 
-    def decode(self, features) -> Tuple[List[str], np.ndarray, float]:
+    def decode(self, features,
+               mask=None) -> Tuple[List[str], np.ndarray, float]:
         """Viterbi over the factored graph. Returns (words, per-frame grid
         state path ``word*S + local``, score) with the same word-recovery
-        rule as the dense graph."""
+        rule as the dense graph. ``mask (T,)`` marks valid frames (padded
+        frames act as identity steps — shape-bucketed serving)."""
         from lnasr_tpu.ops.factored_pallas import factored_pallas_ok
 
         obs = jnp.asarray(features, self.dtype)
+        if mask is not None:
+            mask = jnp.asarray(mask, bool)
         use_kernel = (
             self.dtype == jnp.float32
             and jax.default_backend() == "tpu"
@@ -618,8 +635,8 @@ class FactoredDecodingGraph:
         )
         decode_fn = self._decode_fn_pallas if use_kernel else self._decode_fn
         path, score = decode_fn(
-            obs, self.inner_a, self.hop, self.log_pi_w, self.log_final_w,
-            self.exit_idx, self.state_map, self.pad_mask,
+            obs, mask, self.inner_a, self.hop, self.log_pi_w,
+            self.log_final_w, self.exit_idx, self.state_map, self.pad_mask,
             self.log_w, self.mu, self.cov,
         )
         path = np.asarray(path)
@@ -781,8 +798,8 @@ class TrigramDecodingGraph:
         cov_type = self.cov_type
         neg = -jnp.inf
 
-        def fn(obs, inner_a, hop3, log_pi_w, final3, exit_idx, state_map,
-               pad_mask, log_w, mu, cov):
+        def fn(obs, mask, inner_a, hop3, log_pi_w, final3, exit_idx,
+               state_map, pad_mask, log_w, mu, cov):
             h_hist, v_words, _ = hop3.shape
             s_max = state_map.shape[1]
             if cov_type == "diag":
@@ -796,7 +813,10 @@ class TrigramDecodingGraph:
             copy_base = (h_iota * v_words + w_iota) * s_max  # (H, V, 1)
             exit_i32 = exit_idx.astype(jnp.int32)
 
-            def step(vgrid, log_b_t):
+            copy_self = copy_base + jnp.arange(s_max, dtype=jnp.int32)
+
+            def step(vgrid, inputs):
+                log_b_t, valid = inputs
                 # vgrid: (H, V, S)
                 cand_in = vgrid[:, :, :, None] + inner_a[None]
                 within = jnp.max(cand_in, axis=2)  # (H, V, S)
@@ -828,14 +848,18 @@ class TrigramDecodingGraph:
                 bt = bt.at[:, :, 0].set(
                     jnp.where(hop_wins, src_full, bt[:, :, 0])
                 )
-                return within + log_b_t[None], bt
+                new_v = jnp.where(valid, within + log_b_t[None], vgrid)
+                bt = jnp.where(valid, bt, copy_self)
+                return new_v, bt
 
             pi_grid = jnp.full((h_hist, v_words, s_max), neg, log_b.dtype)
             pi_grid = pi_grid.at[h_hist - 1, :, 0].set(
                 log_pi_w.astype(log_b.dtype)
             )
             v0 = pi_grid + log_b[0][None]
-            v_last, bts = jax.lax.scan(step, v0, log_b[1:])
+            valid = (jnp.ones((log_b.shape[0],), bool) if mask is None
+                     else mask)
+            v_last, bts = jax.lax.scan(step, v0, (log_b[1:], valid[1:]))
 
             final_grid = jnp.where(
                 jnp.arange(s_max)[None, None, :] == exit_idx[None, :, None],
@@ -858,10 +882,13 @@ class TrigramDecodingGraph:
 
         return jax.jit(fn)
 
-    def decode(self, features) -> Tuple[List[str], np.ndarray, float]:
+    def decode(self, features,
+               mask=None) -> Tuple[List[str], np.ndarray, float]:
         obs = jnp.asarray(features, self.dtype)
+        if mask is not None:
+            mask = jnp.asarray(mask, bool)
         path, score = self._decode_fn(
-            obs, self.inner_a, self.hop3, self.log_pi_w, self.final3,
+            obs, mask, self.inner_a, self.hop3, self.log_pi_w, self.final3,
             self.exit_idx, self.state_map, self.pad_mask,
             self.log_w, self.mu, self.cov,
         )

@@ -147,8 +147,17 @@ class Recognizer:
         vad=None,
         decoder_config: DecoderConfig = DecoderConfig(),
         graph: str = "auto",
+        bucket_frames: int = 0,
     ):
-        """``graph`` selects the search realization: ``"dense"`` (one
+        """``bucket_frames`` > 0 enables shape-bucketed serving: segment
+        audio is zero-padded so feature counts land on multiples of the
+        bucket and decoding runs with a frame mask — so a live stream
+        triggers at most a handful of jit compilations instead of one per
+        distinct segment length (minutes each over a tunneled TPU).
+        Requires ``mean_norm=False`` MFCC (padded frames must not shift
+        the utterance statistics); results equal the unbucketed decode.
+
+        ``graph`` selects the search realization: ``"dense"`` (one
         (n_states)^2 Viterbi — exact, right for small vocabularies),
         ``"factored"`` (the (V, S)-grid search — scales to thousands of
         words), ``"trigram"`` (history-expanded search scoring the full
@@ -160,6 +169,12 @@ class Recognizer:
         self.lexicon = lexicon
         self.lm = lm
         self.vad = vad
+        self.bucket_frames = int(bucket_frames)
+        if self.bucket_frames and am.mfcc.config.mean_norm:
+            raise ValueError(
+                "bucket_frames requires an MFCC config with mean_norm=False "
+                "(padded frames would shift per-utterance normalization)"
+            )
         # a unit named "<sil>" in the acoustic model becomes the decoder's
         # background model (decodes silence between words, emits no text)
         silence = am.units.get(DecodingGraph.SILENCE)
@@ -202,13 +217,34 @@ class Recognizer:
             segments = [(0, len(audio))]
         results = []
         for a, b in segments:
-            feats = self.am.features(audio[a:b])
-            words, _, score = self.graph.decode(feats)
+            words, score = self.decode_segment(audio[a:b])
             results.append(
                 SegmentResult(start_s=a / 16000.0, end_s=b / 16000.0,
                               words=words, score=score)
             )
         return results
+
+    def decode_segment(self, audio_seg) -> Tuple[List[str], float]:
+        """Features + composed-graph decode of one speech segment,
+        shape-bucketed when ``bucket_frames`` is set."""
+        audio_seg = np.asarray(audio_seg)
+        if not self.bucket_frames:
+            feats = self.am.features(audio_seg)
+            words, _, score = self.graph.decode(feats)
+            return words, score
+        from lnasr_tpu.ops.framing import num_frames
+
+        cfg = self.am.mfcc.config
+        bucket_samples = self.bucket_frames * cfg.frame_step
+        n = len(audio_seg)
+        n_pad = max(bucket_samples, -(-n // bucket_samples) * bucket_samples)
+        padded = np.zeros(n_pad, dtype=audio_seg.dtype)
+        padded[:n] = audio_seg
+        feats = self.am.features(padded)
+        n_valid = num_frames(n, cfg.frame_len, cfg.frame_step)
+        mask = np.arange(feats.shape[0]) < n_valid
+        words, _, score = self.graph.decode(feats, mask)
+        return words, score
 
     def recognize(self, audio) -> str:
         """Audio in, text out — the method the reference never implemented
@@ -287,8 +323,7 @@ class StreamingRecognizer:
         a = (a_f - self._base_f) * self.frame_len
         b = min(len(self._buffer), (end_f + self.pad - self._base_f) * self.frame_len)
         t0 = time.perf_counter()
-        feats = self.rec.am.features(self._buffer[a:b])
-        words, _, score = self.rec.graph.decode(feats)
+        words, score = self.rec.decode_segment(self._buffer[a:b])
         dt = time.perf_counter() - t0
         self.stats.segments += 1
         self.stats.decode_seconds += dt

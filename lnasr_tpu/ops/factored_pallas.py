@@ -47,11 +47,12 @@ _TC = 16  # frames per grid step
 
 
 def _fwd_kernel(pi_ref, at_ref, exitm_ref, hop_ref, eye_ref, logb_ref,
-                out_ref, v_ref, *, has_hop: bool):
-    """One block of _TC frames. Shapes (VMEM): pi (S, V), at (S, S, V) with
+                mask_ref, out_ref, v_ref, *, has_hop: bool):
+    """One block of _TC frames. Shapes: pi (S, V), at (S, S, V) with
     ``at[s, j, v] = inner_a[v, s, j]``, exitm (S, V), hop (V, V), eye
-    (V, V), logb/out (TC, S, V); scratch v (S, V) persists across grid
-    steps."""
+    (V, V), logb/out (TC, S, V) — all VMEM; mask (TC,) int32 in SMEM
+    (masked frames are identity steps: grid unchanged). Scratch v (S, V)
+    persists across grid steps."""
     tc, s_pad, v_pad = logb_ref.shape
     blk = pl.program_id(0)
     dtype = v_ref.dtype
@@ -59,12 +60,13 @@ def _fwd_kernel(pi_ref, at_ref, exitm_ref, hop_ref, eye_ref, logb_ref,
     def frame(i, _):
         t = blk * tc + i
         lb = logb_ref[i]
+        valid = mask_ref[i] > 0
 
         @pl.when(t == 0)
         def _():
             v_ref[:, :] = pi_ref[:, :] + lb
 
-        @pl.when(t > 0)
+        @pl.when((t > 0) & valid)
         def _():
             vg = v_ref[:, :]
             within = jnp.max(vg[:, None, :] + at_ref[:, :, :], axis=0)
@@ -116,6 +118,7 @@ def factored_forward_pallas(
     exit_idx: jax.Array,  # (V,) int32
     hop: Optional[jax.Array],  # (V, V) or None (loop=False)
     log_b_grid: jax.Array,  # (T, V, S) emissions on the grid
+    mask: Optional[jax.Array] = None,  # (T,) valid frames
     interpret: bool = False,
 ) -> jax.Array:
     """All trellis grids ``(T, V, S)`` of the factored search — bitwise
@@ -146,6 +149,9 @@ def factored_forward_pallas(
     if t_pad != t_len:
         lb = jnp.pad(lb, [(0, t_pad - t_len), (0, 0), (0, 0)],
                      constant_values=NEG)
+    m = (jnp.ones((t_len,), jnp.int32) if mask is None
+         else jnp.asarray(mask, jnp.int32))
+    m = jnp.pad(m, (0, t_pad - t_len))  # T-padding frames are masked too
 
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, has_hop=hop is not None),
@@ -157,12 +163,13 @@ def factored_forward_pallas(
             pl.BlockSpec(memory_space=pltpu.VMEM),  # hop
             pl.BlockSpec(memory_space=pltpu.VMEM),  # eye
             pl.BlockSpec((_TC, _SUB, v_pad), lambda b: (b, 0, 0)),
+            pl.BlockSpec((_TC,), lambda b: (b,), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((_TC, _SUB, v_pad), lambda b: (b, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((t_pad, _SUB, v_pad), dtype),
         scratch_shapes=[pltpu.VMEM((_SUB, v_pad), dtype)],
         interpret=interpret,
-    )(pi, at, exitm, hop_p, eye, lb)
+    )(pi, at, exitm, hop_p, eye, lb, m)
     return jnp.transpose(out[:t_len, :s_max, :v_words], (0, 2, 1))
 
 
@@ -179,18 +186,22 @@ def factored_backtrace(
     exit_idx: jax.Array,  # (V,)
     hop: Optional[jax.Array],  # (V, V) or None
     log_final_grid: jax.Array,  # (V, S) termination weights
+    mask: Optional[jax.Array] = None,  # (T,) valid frames
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact-replay backtrace over stored grids: ``(path (T,) int32 in
     v*S+s ids, score)``. Re-derives each step's argmax with the same
-    first-max / strict ``entry > within`` rules as the scan decoder."""
+    first-max / strict ``entry > within`` rules as the scan decoder;
+    masked frames self-point (the forward treated them as identity)."""
     t_len, v_words, s_max = vgrids.shape
     exit_idx = jnp.asarray(exit_idx, jnp.int32)
+    valid = jnp.ones((t_len,), bool) if mask is None else jnp.asarray(mask, bool)
 
     flat = (vgrids[-1] + log_final_grid).reshape(-1)
     last = jnp.argmax(flat).astype(jnp.int32)
     score = flat[last]
 
-    def backstep(state, vprev):
+    def backstep(state, inputs):
+        vprev, v_t = inputs
         v_w = state // s_max
         j = state % s_max
         cand = vprev[v_w] + inner_a[v_w, :, j]  # (S,)
@@ -204,9 +215,12 @@ def factored_backtrace(
             esrc = jnp.argmax(hop_cand).astype(jnp.int32)
             use_hop = (j == 0) & (jnp.max(hop_cand) > m)
             pred = jnp.where(use_hop, esrc * s_max + exit_idx[esrc], pred)
+        pred = jnp.where(v_t, pred, state)
         return pred, pred
 
-    _, head = jax.lax.scan(backstep, last, vgrids[:-1], reverse=True)
+    _, head = jax.lax.scan(
+        backstep, last, (vgrids[:-1], valid[1:]), reverse=True
+    )
     return jnp.concatenate([head, last[None]]), score
 
 

@@ -297,6 +297,32 @@ def test_trigram_graph_matches_factored_with_bigram_lm(small_world):
     assert tscore == pytest.approx(fscore, rel=1e-12, abs=1e-9)
 
 
+def test_masked_decode_equals_unpadded(small_world):
+    """Bucket-padded (masked) decoding equals exact-shape decoding across
+    all three graph realizations."""
+    units, lex = small_world
+    corpus = ["alpha bravo charlie", "charlie alpha", "bravo bravo alpha"]
+    lm = NGramModel(NGramCounter(2, [Tokenizer.get_tokens(s) for s in corpus]))
+    cfg = DecoderConfig(lm_scale=1.0)
+    rng = np.random.default_rng(31)
+    feats = np.concatenate(
+        [_emit(units, lex[w], 5, rng) for w in ["bravo", "alpha"]]
+    )
+    t = feats.shape[0]
+    feats_pad = np.concatenate([feats, rng.normal(size=(7, feats.shape[1]))])
+    mask = np.arange(t + 7) < t
+
+    for graph_cls in (DecodingGraph, FactoredDecodingGraph,
+                      TrigramDecodingGraph):
+        g = graph_cls.build(lex, units, lm, cfg, dtype=jnp.float64)
+        words, path, score = g.decode(feats)
+        words_m, path_m, score_m = g.decode(feats_pad, mask)
+        assert words_m == words, graph_cls.__name__
+        np.testing.assert_array_equal(path_m[:t], path,
+                                      err_msg=graph_cls.__name__)
+        assert score_m == pytest.approx(score, rel=1e-12)
+
+
 def test_trigram_changes_hypothesis_and_wer_does_not_regress():
     """The canonical case a bigram cannot solve: two acoustically identical
     words whose identity only the two-word history disambiguates. The

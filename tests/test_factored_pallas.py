@@ -123,6 +123,40 @@ def test_kernel_decodes_planted_sequence():
     assert np.isfinite(float(score))
 
 
+def test_kernel_masked_equals_unpadded():
+    """Bucket-padded decode (mask) == exact-shape decode, kernel and scan."""
+    graph, rng = _graph(9, mixed_lengths=True, seed=21)
+    obs = rng.normal(scale=8.0, size=(23, 5)).astype(np.float32)
+    obs_pad = np.concatenate(
+        [obs, rng.normal(size=(9, 5)).astype(np.float32)]
+    )
+    mask = np.arange(32) < 23
+
+    ref_path, ref_score = _scan_decode(graph, obs)
+
+    log_b, pi_grid, final_grid = _grid_inputs(graph, obs_pad)
+    for fwd in ("kernel", "scan"):
+        if fwd == "kernel":
+            vgrids = factored_forward_pallas(
+                pi_grid, graph.inner_a, graph.exit_idx, graph.hop, log_b,
+                jnp.asarray(mask), interpret=True,
+            )
+            path, score = factored_backtrace(
+                vgrids, graph.inner_a, graph.exit_idx, graph.hop,
+                final_grid, jnp.asarray(mask),
+            )
+        else:
+            path, score = factored_trellis_scan(
+                log_b, graph.inner_a, graph.hop, pi_grid, final_grid,
+                graph.exit_idx, jnp.asarray(mask),
+            )
+        np.testing.assert_array_equal(np.asarray(path)[:23],
+                                      np.asarray(ref_path), err_msg=fwd)
+        # padded tail repeats the last valid state
+        assert np.all(np.asarray(path)[23:] == np.asarray(path)[22])
+        assert float(score) == float(ref_score), fwd
+
+
 def test_budget_guard():
     assert factored_pallas_ok(2000, 1000)
     assert not factored_pallas_ok(2000, 4000)  # hop+eye exceed VMEM

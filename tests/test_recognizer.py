@@ -199,6 +199,44 @@ def test_factored_graph_recognizer_matches_dense(trained_recognizer):
     assert rec_f.recognize(audio) == rec.recognize(audio)
 
 
+def test_bucketed_decoding_matches_unbucketed(trained_recognizer):
+    """Shape-bucketed serving: padded-audio + frame-mask decodes must
+    produce the same words as the exact-shape path, and different segment
+    lengths must share jit shapes (one compile per bucket)."""
+    rec, rng = trained_recognizer
+    rec_b = Recognizer(rec.am, rec.lexicon, rec.lm, vad=None,
+                       decoder_config=DecoderConfig(lm_scale=0.5),
+                       bucket_frames=64)
+
+    shapes = []
+    orig_decode = rec_b.graph.decode
+
+    def spy(feats, mask=None):
+        shapes.append(np.asarray(feats).shape)
+        return orig_decode(feats, mask)
+
+    rec_b.graph.decode = spy
+    for dur in (0.31, 0.35, 0.43):
+        audio = _word_audio("mid", rng, dur=dur)
+        words_b, _ = rec_b.decode_segment(audio)
+        words, _ = rec.decode_segment(audio)
+        assert words_b == words
+    # 0.31-0.43 s at 10 ms stride spans 31-43 frames: ONE 64-frame bucket
+    # (frame count is a deterministic function of the bucketed audio
+    # length — num_frames(k * 64 * step) — not itself a multiple of 64)
+    assert len(set(shapes)) == 1, shapes
+    assert shapes[0][0] >= 43
+
+
+def test_bucketing_rejects_mean_norm(trained_recognizer):
+    rec, _ = trained_recognizer
+    am = AcousticModel(rec.am.units, MFCCConfig(energy_floor=1e-10,
+                                                mean_norm=True),
+                       dtype=rec.am.dtype)
+    with pytest.raises(ValueError, match="mean_norm"):
+        Recognizer(am, rec.lexicon, rec.lm, bucket_frames=64)
+
+
 def test_acoustic_model_save_load(tmp_path, trained_recognizer):
     rec, rng = trained_recognizer
     d = str(tmp_path / "am")
