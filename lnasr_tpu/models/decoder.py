@@ -642,6 +642,45 @@ class FactoredDecodingGraph:
         path = np.asarray(path)
         return self._path_to_words(path), path, float(score)
 
+    @functools.cached_property
+    def _decode_batch_fn(self):
+        """vmapped scan decode: ``(B, T, D) obs + (B, T) masks`` in one
+        program — the serving path for a batch of bucketed segments."""
+        cov_type = self.cov_type
+
+        def one(obs, mask, inner_a, hop, log_pi_w, log_final_w, exit_idx,
+                state_map, pad_mask, log_w, mu, cov):
+            log_b, pi_grid, final_grid = _factored_grid_inputs(
+                obs, log_pi_w, log_final_w, exit_idx, state_map, pad_mask,
+                log_w, mu, cov, cov_type,
+            )
+            return factored_trellis_scan(
+                log_b, inner_a, hop, pi_grid, final_grid, exit_idx, mask
+            )
+
+        return jax.jit(
+            jax.vmap(one, in_axes=(0, 0) + (None,) * 10)
+        )
+
+    def decode_batch(
+        self, features, masks
+    ) -> List[Tuple[List[str], np.ndarray, float]]:
+        """Decode ``(B, T, D)`` feature batches (padded, with ``(B, T)``
+        masks) in ONE jitted program. Returns per-utterance
+        (words, path, score) — identical to looping :meth:`decode`."""
+        obs = jnp.asarray(features, self.dtype)
+        masks = jnp.asarray(masks, bool)
+        paths, scores = self._decode_batch_fn(
+            obs, masks, self.inner_a, self.hop, self.log_pi_w,
+            self.log_final_w, self.exit_idx, self.state_map, self.pad_mask,
+            self.log_w, self.mu, self.cov,
+        )
+        paths = np.asarray(paths)
+        return [
+            (self._path_to_words(paths[b]), paths[b], float(scores[b]))
+            for b in range(paths.shape[0])
+        ]
+
     def _path_to_words(self, path: np.ndarray) -> List[str]:
         s_max = self.grid_shape[1]
         word_ids, locals_ = path // s_max, path % s_max

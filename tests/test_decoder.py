@@ -323,6 +323,32 @@ def test_masked_decode_equals_unpadded(small_world):
         assert score_m == pytest.approx(score, rel=1e-12)
 
 
+def test_factored_decode_batch_matches_loop(small_world):
+    """One vmapped program over a padded batch == per-utterance decodes."""
+    units, lex = small_world
+    cfg = DecoderConfig(lm_scale=1.0)
+    g = FactoredDecodingGraph.build(lex, units, None, cfg, dtype=jnp.float64)
+    rng = np.random.default_rng(33)
+    seqs = [["alpha", "bravo"], ["charlie"], ["bravo", "charlie", "alpha"]]
+    feats = [
+        np.concatenate([_emit(units, lex[w], 4, rng) for w in seq])
+        for seq in seqs
+    ]
+    t_max = max(f.shape[0] for f in feats)
+    batch = np.zeros((len(feats), t_max, feats[0].shape[1]))
+    masks = np.zeros((len(feats), t_max), bool)
+    for i, f in enumerate(feats):
+        batch[i, : f.shape[0]] = f
+        masks[i, : f.shape[0]] = True
+
+    results = g.decode_batch(batch, masks)
+    for i, f in enumerate(feats):
+        words, path, score = g.decode(batch[i], masks[i])
+        assert results[i][0] == words == seqs[i]
+        np.testing.assert_array_equal(results[i][1], path)
+        assert results[i][2] == pytest.approx(score, rel=1e-12)
+
+
 def test_trigram_changes_hypothesis_and_wer_does_not_regress():
     """The canonical case a bigram cannot solve: two acoustically identical
     words whose identity only the two-word history disambiguates. The
