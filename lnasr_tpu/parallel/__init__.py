@@ -26,6 +26,7 @@ from lnasr_tpu.parallel.training import (
     make_dp_gmmhmm_em_step,
     make_dp_hmm_em_step,
     make_seq_gmmhmm_em_step,
+    make_seq_hmm_em_step,
     train_data_parallel,
     train_seq_parallel,
 )
@@ -53,6 +54,7 @@ __all__ = [
     "backward_seq_parallel",
     "forward_seq_parallel",
     "make_seq_gmmhmm_em_step",
+    "make_seq_hmm_em_step",
     "train_seq_parallel",
     "viterbi_seq_parallel",
     "make_mp_emission_fn",

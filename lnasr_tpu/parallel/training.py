@@ -114,6 +114,67 @@ def make_dp_hmm_em_step(mesh: Mesh) -> Callable:
     return jax.jit(fn)
 
 
+def _seq_trellis_stats(log_pi, log_a, log_b_c, mask_c, idx, seq_size,
+                       shift_up):
+    """Chunk-local alpha/beta rows and normalized xi/gamma for one long
+    utterance sharded over the ``seq`` axis (shared by the continuous and
+    discrete seq-parallel EM steps). Returns
+    ``(alpha_c, beta_c, xi, gamma, gamma_m)``."""
+    from lnasr_tpu.parallel.seqscan import (
+        _after_product,
+        _before_product,
+        _chunk_ops,
+        _identity_op,
+        _suffix_scan,
+    )
+    from lnasr_tpu.ops.numerics import log_matmul
+    from lnasr_tpu.ops.numerics import logsumexp as lse
+
+    n = log_a.shape[0]
+    dtype = log_b_c.dtype
+    mats = _chunk_ops(log_a, log_b_c, mask_c, idx == 0)
+
+    # forward: alpha rows for this chunk
+    prefix = jax.lax.associative_scan(log_matmul, mats, axis=0)
+    before = _before_product(prefix[-1], idx, log_matmul, n, dtype)
+    first_b = jax.lax.all_gather(log_b_c[0], "seq")[0]  # global frame 0
+    alpha0 = log_pi + first_b
+    alpha_c = lse(
+        alpha0[None, :, None] + log_matmul(before[None], prefix), axis=1
+    )
+
+    # backward: beta rows for this chunk
+    suffix = _suffix_scan(log_matmul, mats)
+    after = _after_product(suffix[0], idx, log_matmul, n, dtype)
+    suffix_next = jnp.concatenate(
+        [suffix[1:], _identity_op(n, dtype)[None]], axis=0
+    )
+    beta_c = lse(log_matmul(suffix_next, after[None]), axis=2)
+
+    # boundary rows from the next chunk (device S-1 receives zeros and
+    # masks them out: the global last frame has no outgoing transition)
+    nb = jax.lax.ppermute(log_b_c[0], "seq", shift_up)
+    nbeta = jax.lax.ppermute(beta_c[0], "seq", shift_up)
+    nmask = jax.lax.ppermute(mask_c[0].astype(jnp.int32), "seq", shift_up)
+    b_next = jnp.concatenate([log_b_c[1:], nb[None]], axis=0)
+    beta_next = jnp.concatenate([beta_c[1:], nbeta[None]], axis=0)
+    mask_next = jnp.concatenate(
+        [mask_c[1:], (nmask > 0)[None]], axis=0
+    )  # frame t+1 valid <=> transition t -> t+1 exists
+
+    # xi / gamma (per-frame normalization is chunk-local)
+    numer = (
+        alpha_c[:, :, None] + log_a[None] + (b_next + beta_next)[:, None, :]
+    )
+    tc = numer.shape[0]
+    denom = lse(numer.reshape(tc, n * n), axis=1)
+    xi = numer - denom[:, None, None]
+    xi = jnp.where(mask_next[:, None, None], xi, -jnp.inf)
+    gamma = lse(xi, axis=2)
+    gamma_m = jnp.where(mask_c[:, None], gamma, -jnp.inf)
+    return alpha_c, beta_c, xi, gamma, gamma_m
+
+
 def make_seq_gmmhmm_em_step(mesh: Mesh, config: GMMHMMConfig) -> Callable:
     """Baum-Welch for ONE long utterance with the *time* axis sharded over
     the mesh's ``seq`` axis: ``(params, obs (T, D), mask (T,)) ->
@@ -130,14 +191,6 @@ def make_seq_gmmhmm_em_step(mesh: Mesh, config: GMMHMMConfig) -> Callable:
     This closes the round-1 gap: the ``seq`` axis could only run
     forward/Viterbi, so EM on a long utterance could not ride it.
     """
-    from lnasr_tpu.parallel.seqscan import (
-        _after_product,
-        _before_product,
-        _chunk_ops,
-        _identity_op,
-        _suffix_scan,
-    )
-    from lnasr_tpu.ops.numerics import log_matmul
     from lnasr_tpu.ops.numerics import logsumexp as lse
 
     cov_type, min_std, var_floor = config.cov_type, config.min_std, config.var_floor
@@ -146,51 +199,12 @@ def make_seq_gmmhmm_em_step(mesh: Mesh, config: GMMHMMConfig) -> Callable:
 
     def shard_fn(params, obs_c, mask_c):
         idx = jax.lax.axis_index("seq")
-        n = params.log_a.shape[0]
         log_b_c, log_bm_c = _g._emissions(params, obs_c, cov_type)
         dtype = log_b_c.dtype
-        mats = _chunk_ops(params.log_a, log_b_c, mask_c, idx == 0)
-
-        # forward: alpha rows for this chunk
-        prefix = jax.lax.associative_scan(log_matmul, mats, axis=0)
-        before = _before_product(prefix[-1], idx, log_matmul, n, dtype)
-        first_b = jax.lax.all_gather(log_b_c[0], "seq")[0]  # global frame 0
-        alpha0 = params.log_pi + first_b
-        alpha_c = lse(
-            alpha0[None, :, None] + log_matmul(before[None], prefix), axis=1
+        alpha_c, beta_c, xi, gamma, gamma_m = _seq_trellis_stats(
+            params.log_pi, params.log_a, log_b_c, mask_c, idx, seq_size,
+            shift_up,
         )
-
-        # backward: beta rows for this chunk
-        suffix = _suffix_scan(log_matmul, mats)
-        after = _after_product(suffix[0], idx, log_matmul, n, dtype)
-        suffix_next = jnp.concatenate(
-            [suffix[1:], _identity_op(n, dtype)[None]], axis=0
-        )
-        beta_c = lse(log_matmul(suffix_next, after[None]), axis=2)
-
-        # boundary rows from the next chunk (device S-1 receives zeros and
-        # masks them out: the global last frame has no outgoing transition)
-        nb = jax.lax.ppermute(log_b_c[0], "seq", shift_up)
-        nbeta = jax.lax.ppermute(beta_c[0], "seq", shift_up)
-        nmask = jax.lax.ppermute(mask_c[0].astype(jnp.int32), "seq", shift_up)
-        b_next = jnp.concatenate([log_b_c[1:], nb[None]], axis=0)
-        beta_next = jnp.concatenate([beta_c[1:], nbeta[None]], axis=0)
-        mask_next = jnp.concatenate(
-            [mask_c[1:], (nmask > 0)[None]], axis=0
-        )  # frame t+1 valid <=> transition t -> t+1 exists
-
-        # xi / gamma (per-frame normalization is chunk-local)
-        numer = (
-            alpha_c[:, :, None]
-            + params.log_a[None]
-            + (b_next + beta_next)[:, None, :]
-        )
-        tc = numer.shape[0]
-        denom = lse(numer.reshape(tc, n * n), axis=1)
-        xi = numer - denom[:, None, None]
-        xi = jnp.where(mask_next[:, None, None], xi, -jnp.inf)
-        gamma = lse(xi, axis=2)
-        gamma_m = jnp.where(mask_c[:, None], gamma, -jnp.inf)
 
         # mixture posteriors (gmmhmm.py:89-100 semantics, chunk-local)
         ab = alpha_c + beta_c
@@ -242,6 +256,59 @@ def make_seq_gmmhmm_em_step(mesh: Mesh, config: GMMHMMConfig) -> Callable:
     return jax.jit(fn)
 
 
+def make_seq_hmm_em_step(mesh: Mesh) -> Callable:
+    """Discrete-HMM Baum-Welch for ONE long observation sequence with the
+    time axis sharded over ``seq``: ``(params, obs (T,) int, mask (T,)) ->
+    (params, loglik)``. Same machinery as
+    :func:`make_seq_gmmhmm_em_step`, with a table-gather emission model
+    and a per-symbol segment-sum emission numerator."""
+    from lnasr_tpu.ops.numerics import logsumexp as lse
+
+    seq_size = mesh.shape["seq"]
+    shift_up = [(i, i - 1) for i in range(1, seq_size)]
+
+    def shard_fn(params, obs_c, mask_c):
+        idx = jax.lax.axis_index("seq")
+        n, m_sym = params.log_b.shape
+        log_b_c = _h._emission_lookup(params.log_b, obs_c)
+        dtype = log_b_c.dtype
+        alpha_c, _, xi, gamma, gamma_m = _seq_trellis_stats(
+            params.log_pi, params.log_a, log_b_c, mask_c, idx, seq_size,
+            shift_up,
+        )
+
+        occ = jnp.where(mask_c[:, None], jnp.exp(gamma_m), 0.0)  # (Tc, N)
+        b_num = jax.ops.segment_sum(occ, obs_c, num_segments=m_sym)  # (M, N)
+
+        local = dict(
+            xi=jnp.sum(jnp.exp(xi), axis=0),
+            gamma=jnp.sum(jnp.exp(gamma_m), axis=0),
+            pi=jnp.where(idx == 0, jnp.exp(gamma[0]), 0.0),
+            b=b_num.T,
+            loglik=jnp.where(
+                idx == seq_size - 1, lse(alpha_c[-1]), jnp.asarray(0.0, dtype)
+            ),
+        )
+        total = jax.lax.psum(local, "seq")
+        combined = _h.EMStats(
+            log_xi_sum=safe_log(total["xi"]),
+            log_gamma_sum=safe_log(total["gamma"]),
+            log_b_num=safe_log(total["b"]),
+            log_pi_num=safe_log(total["pi"]),
+            loglik=total["loglik"],
+        )
+        return _h._maximize(combined), combined.loglik
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P("seq"), P("seq")),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def train_seq_parallel(
     model,
     obs,
@@ -253,12 +320,17 @@ def train_seq_parallel(
 ):
     """EM over ONE long utterance, time-sharded across the ``seq`` axis.
 
-    ``obs (T, D)``; T need not divide the axis size (auto-padded with
-    masked frames). Updates ``model`` in place, returns loglik history.
+    ``model`` may be a :class:`~lnasr_tpu.models.gmmhmm.GMMHMM`
+    (``obs (T, D)`` float features) or a discrete
+    :class:`~lnasr_tpu.models.hmm.HMM` (``obs (T,)`` symbol ids). T need
+    not divide the axis size (auto-padded with masked frames). Updates
+    ``model`` in place, returns loglik history.
     """
     from lnasr_tpu.parallel.seqscan import _pad_time
 
-    obs = jnp.asarray(obs, model.dtype)
+    # GMMHMM subclasses HMM, so identify the discrete model by its params
+    discrete = hasattr(model.params, "log_b")
+    obs = jnp.asarray(obs) if discrete else jnp.asarray(obs, model.dtype)
     t = obs.shape[0]
     if mask is None:
         mask = jnp.ones((t,), bool)
@@ -266,10 +338,12 @@ def train_seq_parallel(
     seq_size = mesh.shape["seq"]
     (obs_p, mask_p), t_pad = _pad_time([obs, mask], t, seq_size)
     mask_p = mask_p.astype(bool) & (jnp.arange(t_pad) < t)
-    obs_p = jax.device_put(obs_p, NamedSharding(mesh, P("seq", None)))
+    obs_sharding = P("seq") if discrete else P("seq", None)
+    obs_p = jax.device_put(obs_p, NamedSharding(mesh, obs_sharding))
     mask_p = jax.device_put(mask_p, NamedSharding(mesh, P("seq")))
 
-    step = make_seq_gmmhmm_em_step(mesh, model.config)
+    step = (make_seq_hmm_em_step(mesh) if discrete
+            else make_seq_gmmhmm_em_step(mesh, model.config))
     params = model.params
     history = []
     prev = None

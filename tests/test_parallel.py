@@ -246,6 +246,38 @@ def test_seq_parallel_em_matches_single_chip(seq, t):
 
 
 @requires_multidevice
+def test_seq_parallel_discrete_hmm_em_matches_single_chip():
+    """The discrete-HMM seq-parallel EM reproduces the single-chip sweep
+    on one long masked symbol sequence."""
+    from lnasr_tpu.models.hmm import HMM, em_step as hmm_em_step
+    from lnasr_tpu.parallel import train_seq_parallel
+
+    rng = np.random.default_rng(5)
+    t = 61
+    obs = rng.integers(0, 3, size=t)
+    mask = np.arange(t) < t - 4
+
+    single = HMM(n=2, m=3, dtype=jnp.float64)
+    single.reset("random", jax.random.PRNGKey(3))
+    p_single, ll_single = hmm_em_step(
+        single.params, jnp.asarray(obs)[None], jnp.asarray(mask)[None]
+    )
+
+    mesh = make_mesh(mesh_shape_for(8, data=1, seq=8))
+    sharded = HMM(n=2, m=3, dtype=jnp.float64)
+    sharded.reset("random", jax.random.PRNGKey(3))
+    hist = train_seq_parallel(sharded, obs, mesh, iters=1, mask=mask)
+
+    np.testing.assert_allclose(hist[0], float(ll_single), rtol=1e-10)
+    for name in ("log_a", "log_b", "log_pi"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(sharded.params, name)),
+            np.asarray(getattr(p_single, name)),
+            rtol=1e-8, atol=1e-10, err_msg=name,
+        )
+
+
+@requires_multidevice
 def test_seq_parallel_em_multi_iteration_improves():
     from lnasr_tpu.parallel import train_seq_parallel
 
