@@ -188,15 +188,32 @@ def _cmd_recognize(args) -> int:
         from lnasr_tpu.vad.native import AmrWbVad
 
         vad = AmrWbVad()
+    graph = args.graph
+    if (args.nbest > 1 or args.rescore_lm) and graph in ("auto", "dense"):
+        graph = "factored"  # lattices live on the factored search
     rec = Recognizer(
-        am, lexicon, lm, vad=vad, graph=args.graph,
+        am, lexicon, lm, vad=vad, graph=graph,
         decoder_config=DecoderConfig(
             lm_scale=args.lm_scale,
             word_insertion_penalty=args.word_penalty,
         ),
     )
-    hyp = rec.recognize(_read_audio(args.audio))
-    print(hyp)
+    audio = _read_audio(args.audio)
+    if args.nbest > 1 or args.rescore_lm:
+        rescore = LanguageModel(args.rescore_lm) if args.rescore_lm else None
+        seg_lists = rec.recognize_nbest(audio, n=args.nbest,
+                                        rescore_lm=rescore)
+        hyp = " ".join(
+            w for hyps in seg_lists if hyps for w in hyps[0].words
+        )
+        print(hyp)
+        for si, hyps in enumerate(seg_lists):
+            for rank, h in enumerate(hyps):
+                print(f"seg {si} #{rank + 1} {h.score:.3f}  "
+                      f"{' '.join(h.words)}", file=sys.stderr)
+    else:
+        hyp = rec.recognize(audio)
+        print(hyp)
     if args.ref is not None:
         d = wer_details(args.ref.split(), hyp.split())
         print(f"WER {d['wer']:.3f}  (sub {d['sub']} del {d['del']} "
@@ -271,6 +288,12 @@ def main(argv=None) -> int:
                    default="auto")
     p.add_argument("--lm-scale", type=float, default=1.0)
     p.add_argument("--word-penalty", type=float, default=0.0)
+    p.add_argument("--nbest", type=int, default=1,
+                   help="print the N best hypotheses per segment (stderr)")
+    p.add_argument("--rescore-lm", default=None,
+                   help="ARPA LM (usually trigram+) for lattice N-best "
+                        "rescoring — the scalable alternative to "
+                        "--graph trigram")
     p.add_argument("--ref", default=None,
                    help="reference transcript; prints a WER report to stderr")
     p.add_argument("--tpu", action="store_true",

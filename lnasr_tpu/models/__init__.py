@@ -16,6 +16,7 @@ from lnasr_tpu.models.decoder import (
     FactoredDecodingGraph,
     TrigramDecodingGraph,
 )
+from lnasr_tpu.models.lattice import Hypothesis, WordLattice, WordToken
 from lnasr_tpu.models.recognizer import (
     AcousticModel,
     LanguageModel,
@@ -38,6 +39,9 @@ __all__ = [
     "DecodingGraph",
     "FactoredDecodingGraph",
     "TrigramDecodingGraph",
+    "Hypothesis",
+    "WordLattice",
+    "WordToken",
     "AcousticModel",
     "LanguageModel",
     "Recognizer",

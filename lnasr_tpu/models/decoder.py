@@ -465,6 +465,77 @@ def factored_trellis_scan(log_b, inner_a, hop, pi_grid, final_grid, exit_idx,
     return path, score
 
 
+def factored_lattice_scan(log_b, inner_a, hop, pi_grid, exit_idx, mask=None):
+    """Factored Viterbi forward pass that records word-token lattice raw
+    material instead of backpointers.
+
+    Alongside the ``(V, S)`` score grid, every grid state carries the frame
+    at which its current word token was entered (``start``) and the word it
+    was entered from (``pred``, −1 for sentence begin); both propagate
+    through the same max-plus argmax selections as the scores. Per frame
+    the scan emits each word's exit-state record ``(score, start, pred)``
+    — exactly the information a word lattice needs (best path ending word v
+    at frame t, that token's span, and its best predecessor).
+
+    Returns ``(exit_score (T, V), exit_start (T, V) int32,
+    exit_pred (T, V) int32, v_last (V, S))``. Masked frames repeat the
+    previous frame's records (identity step), matching
+    :func:`factored_trellis_scan`.
+    """
+    t_len, v_words, s_max = log_b.shape
+    exit_i32 = exit_idx.astype(jnp.int32)
+
+    def exit_records(vgrid, start, pred):
+        gather = lambda g: jnp.take_along_axis(
+            g, exit_i32[:, None], axis=1
+        )[:, 0]
+        return gather(vgrid), gather(start), gather(pred)
+
+    def step(carry, inputs):
+        vgrid, start, pred = carry
+        log_b_t, valid, t = inputs
+        cand_in = vgrid[:, :, None] + inner_a  # (V, S, S) over pred s
+        within = jnp.max(cand_in, axis=1)
+        wsrc = jnp.argmax(cand_in, axis=1).astype(jnp.int32)
+        new_start = jnp.take_along_axis(start, wsrc, axis=1)
+        new_pred = jnp.take_along_axis(pred, wsrc, axis=1)
+
+        exit_v = jnp.take_along_axis(vgrid, exit_i32[:, None], axis=1)[:, 0]
+        cand_hop = exit_v[:, None] + hop  # (V, V): [from, to]
+        entry = jnp.max(cand_hop, axis=0)
+        esrc = jnp.argmax(cand_hop, axis=0).astype(jnp.int32)
+        hop_wins = entry > within[:, 0]
+        within = within.at[:, 0].set(jnp.maximum(within[:, 0], entry))
+        new_start = new_start.at[:, 0].set(
+            jnp.where(hop_wins, t, new_start[:, 0])
+        )
+        new_pred = new_pred.at[:, 0].set(
+            jnp.where(hop_wins, esrc, new_pred[:, 0])
+        )
+
+        new_v = jnp.where(valid, within + log_b_t, vgrid)
+        new_start = jnp.where(valid, new_start, start)
+        new_pred = jnp.where(valid, new_pred, pred)
+        return (new_v, new_start, new_pred), exit_records(
+            new_v, new_start, new_pred
+        )
+
+    valid = jnp.ones((t_len,), bool) if mask is None else mask
+    v0 = pi_grid + log_b[0]
+    start0 = jnp.zeros((v_words, s_max), jnp.int32)
+    pred0 = jnp.full((v_words, s_max), -1, jnp.int32)
+    (v_last, _, _), (scores, starts, preds) = jax.lax.scan(
+        step,
+        (v0, start0, pred0),
+        (log_b[1:], valid[1:], jnp.arange(1, t_len, dtype=jnp.int32)),
+    )
+    s0, st0, p0 = exit_records(v0, start0, pred0)
+    exit_score = jnp.concatenate([s0[None], scores], axis=0)
+    exit_start = jnp.concatenate([st0[None], starts], axis=0)
+    exit_pred = jnp.concatenate([p0[None], preds], axis=0)
+    return exit_score, exit_start, exit_pred, v_last
+
+
 class FactoredDecodingGraph:
     """Composed-word Viterbi that exploits the graph's block structure.
 
@@ -680,6 +751,62 @@ class FactoredDecodingGraph:
             (self._path_to_words(paths[b]), paths[b], float(scores[b]))
             for b in range(paths.shape[0])
         ]
+
+    @functools.cached_property
+    def _lattice_fn(self):
+        cov_type = self.cov_type
+
+        def fn(obs, mask, inner_a, hop, log_pi_w, log_final_w, exit_idx,
+               state_map, pad_mask, log_w, mu, cov):
+            log_b, pi_grid, _ = _factored_grid_inputs(
+                obs, log_pi_w, log_final_w, exit_idx, state_map, pad_mask,
+                log_w, mu, cov, cov_type,
+            )
+            return factored_lattice_scan(
+                log_b, inner_a, hop, pi_grid, exit_idx, mask
+            )
+
+        return jax.jit(fn)
+
+    def decode_lattice(self, features, mask=None, beam: float = 40.0,
+                       max_tokens_per_frame: Optional[int] = None):
+        """Run the lattice-recording forward pass and build a
+        :class:`~lnasr_tpu.models.lattice.WordLattice` of word tokens.
+
+        The lattice's best path equals :meth:`decode` (same search, same
+        scores); its N-best list and LM-rescoring generalize it. ``beam``
+        keeps, per frame, only word-exit records within that many nats of
+        the frame-best record (``inf`` disables pruning);
+        ``max_tokens_per_frame`` additionally caps each frame's surviving
+        records by rank.
+        """
+        from lnasr_tpu.models.lattice import WordLattice
+
+        if self.hop is None:
+            raise ValueError("lattice decoding requires a looped graph "
+                             "(DecoderConfig(loop=True))")
+        obs = jnp.asarray(features, self.dtype)
+        if mask is not None:
+            mask = jnp.asarray(mask, bool)
+        exit_score, exit_start, exit_pred, _ = self._lattice_fn(
+            obs, mask, self.inner_a, self.hop, self.log_pi_w,
+            self.log_final_w, self.exit_idx, self.state_map, self.pad_mask,
+            self.log_w, self.mu, self.cov,
+        )
+        n_valid = (
+            obs.shape[0] if mask is None else int(np.asarray(mask).sum())
+        )
+        return WordLattice.from_records(
+            self.words,
+            np.asarray(exit_score)[:n_valid],
+            np.asarray(exit_start)[:n_valid],
+            np.asarray(exit_pred)[:n_valid],
+            np.asarray(self.hop),
+            np.asarray(self.log_pi_w),
+            np.asarray(self.log_final_w),
+            beam=beam,
+            max_tokens_per_frame=max_tokens_per_frame,
+        )
 
     def _path_to_words(self, path: np.ndarray) -> List[str]:
         s_max = self.grid_shape[1]

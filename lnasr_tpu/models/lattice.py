@@ -1,0 +1,305 @@
+"""Word lattices, N-best extraction, and LM rescoring.
+
+The scalable route to higher-order LM decoding: the factored bigram search
+(:class:`~lnasr_tpu.models.decoder.FactoredDecodingGraph`) records, per
+frame, each word's best exit score plus that token's span and predecessor
+(:func:`~lnasr_tpu.models.decoder.factored_lattice_scan`). Those records
+form a word lattice whose arcs decompose additively into
+
+    pi_w[w_0] + ac_0 + sum_i (hop[w_{i-1}, w_i] + ac_i) + final_w[w_last]
+
+where ``ac`` is a token's *predecessor-independent* acoustic score (the
+within-word emission + transition mass over its span — exact, because the
+recorded exit score subtracts back to the entry). N-best hypotheses come
+from a k-best Viterbi over the token DAG, and any higher-order
+:class:`~lnasr_tpu.models.ngram.NGramModel` can rescore them by swapping
+the bigram hop scores for full-history ones.
+
+This complements the exact history-expanded
+:class:`~lnasr_tpu.models.decoder.TrigramDecodingGraph` (O(V^2*S) states):
+lattice rescoring runs one O(V*S^2 + V^2) bigram pass plus host work that
+is linear in lattice size, so trigram (or higher) LMs reach vocabularies
+the expanded graph cannot.
+
+The reference sketches exactly this search layering — acoustic pass then
+language-model weighting (``doc/source/basic.rst:14-21``) — but its
+``Recognizer.recognize`` was never built (``lnasr/recognizer.py:46-48``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import heapq
+import math
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from lnasr_tpu.models.ngram import BOS, EOS, NGramModel
+
+_LN10 = math.log(10.0)
+SILENCE = "<sil>"
+
+
+def lm_conditional(lm: NGramModel, word: str, context: Tuple[str, ...]) -> float:
+    """log10 P(word | context) at the LM level matching ``len(context)+1``
+    (truncating longer contexts), so e.g. a one-word context against a
+    trigram model scores with its bigram level rather than backing off
+    through a missing trigram entry."""
+    context = tuple(context[-(lm.order - 1):])
+    return lm._level(len(context) + 1).logprob(word, context)
+
+
+@dataclasses.dataclass(frozen=True)
+class WordToken:
+    """One word occurrence hypothesis: ``word_id`` spanning frames
+    ``[start, end]`` with acoustic score ``ac`` (emissions + within-word
+    transitions only; LM/penalty mass lives on the lattice arcs)."""
+
+    word_id: int
+    start: int
+    end: int
+    ac: float
+
+
+@dataclasses.dataclass
+class Hypothesis:
+    """An N-best entry: surface words (silence removed), the underlying
+    token sequence (silence included), and the total path score."""
+
+    words: List[str]
+    tokens: List[WordToken]
+    score: float
+
+
+class WordLattice:
+    """A DAG of :class:`WordToken` built from factored-search exit records.
+
+    Its 1-best path reproduces the Viterbi decode; :meth:`nbest` extracts
+    alternatives; :meth:`rescore` re-ranks them under a different (usually
+    higher-order) LM using each token's acoustic score.
+    """
+
+    def __init__(
+        self,
+        words: Sequence[str],
+        tokens: List[WordToken],
+        hop: np.ndarray,
+        log_pi_w: np.ndarray,
+        log_final_w: np.ndarray,
+        n_frames: int,
+    ):
+        self.words = list(words)
+        self.tokens = tokens
+        self.hop = hop
+        self.log_pi_w = log_pi_w
+        self.log_final_w = log_final_w
+        self.n_frames = n_frames
+        self._by_start: Dict[int, List[int]] = {}
+        self._by_end: Dict[int, List[int]] = {}
+        for i, tok in enumerate(tokens):
+            self._by_start.setdefault(tok.start, []).append(i)
+            self._by_end.setdefault(tok.end, []).append(i)
+
+    # -- construction --------------------------------------------------------
+
+    @classmethod
+    def from_records(
+        cls,
+        words: Sequence[str],
+        exit_score: np.ndarray,  # (T, V)
+        exit_start: np.ndarray,  # (T, V) int
+        exit_pred: np.ndarray,  # (T, V) int, -1 = sentence begin
+        hop: np.ndarray,  # (V, V)
+        log_pi_w: np.ndarray,  # (V,)
+        log_final_w: np.ndarray,  # (V,)
+        beam: float = 40.0,
+        max_tokens_per_frame: Optional[int] = None,
+    ) -> "WordLattice":
+        """Convert per-frame exit records into word tokens.
+
+        A record ``(t, v)`` becomes the token "word v spans
+        ``[exit_start[t, v], t]``"; its acoustic score is the exit score
+        minus the recorded entry mass (``pi_w`` at sentence begin, else
+        the predecessor's exit score plus the bigram hop). Records outside
+        ``beam`` nats of their frame's best, or beyond
+        ``max_tokens_per_frame`` by rank, are pruned.
+        """
+        t_len, _ = exit_score.shape
+        tokens: List[WordToken] = []
+        for t in range(t_len):
+            row = exit_score[t]
+            finite = np.isfinite(row)
+            if not finite.any():
+                continue
+            thresh = row[finite].max() - beam
+            keep = np.flatnonzero(finite & (row >= thresh))
+            if max_tokens_per_frame is not None and len(keep) > max_tokens_per_frame:
+                keep = keep[np.argsort(row[keep])[::-1][:max_tokens_per_frame]]
+            for v in keep:
+                start = int(exit_start[t, v])
+                pred = int(exit_pred[t, v])
+                if pred < 0:
+                    entry = log_pi_w[v]
+                else:
+                    entry = exit_score[start - 1, pred] + hop[pred, v]
+                ac = float(row[v] - entry)
+                if math.isfinite(ac):
+                    tokens.append(WordToken(int(v), start, t, ac))
+        return cls(words, tokens, hop, log_pi_w, log_final_w, t_len)
+
+    def __len__(self) -> int:
+        return len(self.tokens)
+
+    # -- N-best --------------------------------------------------------------
+
+    def nbest(self, n: int, unique: bool = True) -> List[Hypothesis]:
+        """k-best Viterbi over the token DAG.
+
+        Tokens are processed in start-frame order; each keeps its ``n``
+        best (score, predecessor) entries, combined from every token
+        ending on the previous frame via the bigram ``hop``. With
+        ``unique`` (default), hypotheses that render to the same word
+        sequence are merged keeping the best-scoring one.
+        """
+        # entries[i] = list of (score, prev_token_index, prev_entry_rank)
+        entries: List[List[Tuple[float, int, int]]] = [
+            [] for _ in self.tokens
+        ]
+        for t in range(self.n_frames):
+            for i in self._by_start.get(t, ()):
+                tok = self.tokens[i]
+                cand: List[Tuple[float, int, int]] = []
+                if t == 0:
+                    base = self.log_pi_w[tok.word_id]
+                    if math.isfinite(base):
+                        cand.append((float(base) + tok.ac, -1, -1))
+                for j in self._by_end.get(t - 1, ()):
+                    prev = self.tokens[j]
+                    arc = self.hop[prev.word_id, tok.word_id]
+                    if not math.isfinite(arc):
+                        continue
+                    for r, (s, _, _) in enumerate(entries[j]):
+                        cand.append((s + float(arc) + tok.ac, j, r))
+                entries[i] = heapq.nlargest(n, cand, key=lambda c: c[0])
+
+        finals: List[Tuple[float, int, int]] = []
+        for i in self._by_end.get(self.n_frames - 1, ()):
+            tok = self.tokens[i]
+            fin = self.log_final_w[tok.word_id]
+            if not math.isfinite(fin):
+                continue
+            for r, (s, _, _) in enumerate(entries[i]):
+                finals.append((s + float(fin), i, r))
+        finals.sort(key=lambda c: -c[0])
+
+        hyps: List[Hypothesis] = []
+        seen: Dict[Tuple[str, ...], int] = {}
+        for score, i, r in finals:
+            toks: List[WordToken] = []
+            while i >= 0:
+                toks.append(self.tokens[i])
+                _, i, r = entries[i][r]
+            toks.reverse()
+            surface = tuple(
+                self.words[t.word_id]
+                for t in toks
+                if self.words[t.word_id] != SILENCE
+            )
+            if unique:
+                if surface in seen:
+                    continue
+                seen[surface] = 1
+            hyps.append(Hypothesis(list(surface), toks, float(score)))
+            if len(hyps) >= n:
+                break
+        return hyps
+
+    # -- rescoring -----------------------------------------------------------
+
+    def lm_path_score(
+        self,
+        tokens: Sequence[WordToken],
+        lm: Optional[NGramModel],
+        lm_scale: float = 1.0,
+        word_insertion_penalty: float = 0.0,
+        exit_logp: float = math.log(0.5),
+        use_eos: Optional[bool] = None,
+    ) -> float:
+        """Total path score of a token sequence under ``lm`` with the
+        decoder's composition rules, at the LM's full order:
+
+        - first word scores ``P(w | <s>)``; a leading silence is free;
+        - each later real word costs ``exit_logp + penalty +
+          lm_scale * log P(w | history)`` with all available history;
+        - entering silence costs ``exit_logp`` only, and crossing it
+          truncates history to the one pre-silence word (the same rule the
+          history-expanded graph uses);
+        - sentence end adds ``P(</s> | history)`` when the LM has one.
+
+        With a bigram LM this reproduces the lattice's own arc scores
+        (parity-tested); with a trigram+ LM it is the rescoring objective.
+        ``use_eos`` defaults to whether the LM models sentence end.
+        """
+        if use_eos is None and lm is not None:
+            from lnasr_tpu.models.decoder import _has_eos
+
+            use_eos = _has_eos(lm)
+        scale = lm_scale * _LN10
+        total = sum(t.ac for t in tokens)
+        hist: Tuple[str, ...] = (BOS,)
+        first = True
+        for tok in tokens:
+            w = self.words[tok.word_id]
+            if w == SILENCE:
+                if not first:
+                    total += exit_logp
+                # one word of history survives the gap
+                hist = hist[-1:] if hist and hist[-1] != BOS else (BOS,)
+                first = False
+                continue
+            if first:
+                if lm is not None:
+                    total += scale * lm_conditional(lm, w, (BOS,))
+            else:
+                total += exit_logp + word_insertion_penalty
+                if lm is not None:
+                    total += scale * lm_conditional(lm, w, hist)
+            # <s> stays in the history so the second word scores
+            # P(w2 | <s>, w1) at full order, as the expanded graph does
+            hist = hist + (w,)
+            first = False
+        if lm is not None and use_eos and hist and hist[-1] != BOS:
+            total += scale * lm_conditional(lm, EOS, hist)
+        return float(total)
+
+    def rescore(
+        self,
+        lm: NGramModel,
+        n: int = 10,
+        pool: Optional[int] = None,
+        lm_scale: float = 1.0,
+        word_insertion_penalty: float = 0.0,
+        exit_logp: float = math.log(0.5),
+        use_eos: Optional[bool] = None,
+    ) -> List[Hypothesis]:
+        """Re-rank the lattice's N-best under a (higher-order) LM.
+
+        Extracts ``pool`` hypotheses (default ``4 * n``) with the lattice's
+        bigram scores, rescores each with :meth:`lm_path_score`, and
+        returns the top ``n`` by the new score.
+        """
+        hyps = self.nbest(pool or 4 * n, unique=True)
+        rescored = [
+            Hypothesis(
+                h.words,
+                h.tokens,
+                self.lm_path_score(
+                    h.tokens, lm, lm_scale, word_insertion_penalty,
+                    exit_logp, use_eos,
+                ),
+            )
+            for h in hyps
+        ]
+        rescored.sort(key=lambda h: -h.score)
+        return rescored[:n]

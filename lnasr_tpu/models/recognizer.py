@@ -169,6 +169,7 @@ class Recognizer:
         self.lexicon = lexicon
         self.lm = lm
         self.vad = vad
+        self.decoder_config = decoder_config
         self.bucket_frames = int(bucket_frames)
         if self.bucket_frames and am.mfcc.config.mean_norm:
             raise ValueError(
@@ -224,14 +225,11 @@ class Recognizer:
             )
         return results
 
-    def decode_segment(self, audio_seg) -> Tuple[List[str], float]:
-        """Features + composed-graph decode of one speech segment,
-        shape-bucketed when ``bucket_frames`` is set."""
+    def _segment_features(self, audio_seg):
+        """Features (+ validity mask when shape-bucketed) for one segment."""
         audio_seg = np.asarray(audio_seg)
         if not self.bucket_frames:
-            feats = self.am.features(audio_seg)
-            words, _, score = self.graph.decode(feats)
-            return words, score
+            return self.am.features(audio_seg), None
         from lnasr_tpu.ops.framing import num_frames
 
         cfg = self.am.mfcc.config
@@ -243,14 +241,66 @@ class Recognizer:
         feats = self.am.features(padded)
         n_valid = num_frames(n, cfg.frame_len, cfg.frame_step)
         mask = np.arange(feats.shape[0]) < n_valid
+        return feats, mask
+
+    def decode_segment(self, audio_seg) -> Tuple[List[str], float]:
+        """Features + composed-graph decode of one speech segment,
+        shape-bucketed when ``bucket_frames`` is set."""
+        feats, mask = self._segment_features(audio_seg)
         words, _, score = self.graph.decode(feats, mask)
         return words, score
+
+    def decode_segment_nbest(self, audio_seg, n: int = 5,
+                             rescore_lm=None, pool: Optional[int] = None,
+                             beam: float = 40.0):
+        """N-best hypotheses for one speech segment via a word lattice
+        (:meth:`FactoredDecodingGraph.decode_lattice`); requires the
+        ``"factored"`` graph. ``rescore_lm`` (an :class:`NGramModel` or
+        :class:`LanguageModel`, usually higher-order than the decoding LM)
+        re-ranks the list with full-history scores — the scalable trigram
+        path for vocabularies too large for ``graph="trigram"``.
+
+        Returns a list of :class:`~lnasr_tpu.models.lattice.Hypothesis`.
+        """
+        if not isinstance(self.graph, FactoredDecodingGraph):
+            raise ValueError(
+                "N-best decoding needs the factored graph "
+                '(build the Recognizer with graph="factored")'
+            )
+        feats, mask = self._segment_features(audio_seg)
+        lattice = self.graph.decode_lattice(feats, mask, beam=beam)
+        if rescore_lm is None:
+            return lattice.nbest(n)
+        ngram = getattr(rescore_lm, "ngram", rescore_lm)
+        cfg = self.decoder_config
+        return lattice.rescore(
+            ngram, n=n, pool=pool, lm_scale=cfg.lm_scale,
+            word_insertion_penalty=cfg.word_insertion_penalty,
+            exit_logp=cfg.exit_logp,
+        )
 
     def recognize(self, audio) -> str:
         """Audio in, text out — the method the reference never implemented
         (``recognizer.py:46-48``)."""
         segments = self.recognize_segments(audio)
         return " ".join(w for seg in segments for w in seg.words)
+
+    def recognize_nbest(self, audio, n: int = 5, rescore_lm=None,
+                        pool: Optional[int] = None) -> List[List]:
+        """Per-VAD-segment N-best lists (see :meth:`decode_segment_nbest`)."""
+        audio = np.asarray(audio)
+        if self.vad is not None:
+            if hasattr(self.vad, "reset"):
+                self.vad.reset()
+            flags = self.vad.process(audio)
+            frame_len = getattr(self.vad, "FRAME_LEN", 160)
+            segments = segment_speech(flags, frame_len)
+        else:
+            segments = [(0, len(audio))]
+        return [
+            self.decode_segment_nbest(audio[a:b], n, rescore_lm, pool)
+            for a, b in segments
+        ]
 
 
 @dataclasses.dataclass

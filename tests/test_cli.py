@@ -6,6 +6,7 @@ anywhere; ``Recognizer.recognize`` is a stub, ``lnasr/recognizer.py:46-48``).
 recordings; this test keeps the suite fast with synthetic words.
 """
 
+import re
 import numpy as np
 import pytest
 
@@ -95,3 +96,42 @@ def test_cli_train_am_empty_manifest(tmp_path, capsys):
     manifest.write_text("# nothing here\n")
     rc = cli_main(["train-am", str(manifest), str(tmp_path / "am")])
     assert rc == 1
+
+
+def test_cli_recognize_nbest_with_rescoring(cli_models, capsys):
+    """--nbest prints ranked alternatives on stderr. Rescoring the lattice
+    with the SAME bigram LM must reproduce the plain decode (the rescoring
+    objective equals the search objective); a trigram --rescore-lm also
+    runs end-to-end."""
+    tmp, amdir, lex, lm, rng = cli_models
+    corpus = tmp / "corpus.txt"
+    lm3 = tmp / "words3.lm"
+    assert cli_main(["lm-train", str(corpus), str(lm3), "--order", "3"]) == 0
+    capsys.readouterr()  # drop lm-train's report
+
+    truth = ["low", "mid", "high"]
+    parts = [_gap(rng, 0.2)]
+    for w in truth:
+        parts += [_word_audio(w, rng), _gap(rng, 0.2)]
+    upath = tmp / "utt_nbest.pcm"
+    write_pcm(str(upath), np.concatenate(parts))
+
+    base = ["recognize", str(upath), "--am", amdir, "--lex", lex,
+            "--lm", lm, "--lm-scale", "0.5", "--word-penalty", "-40.0"]
+    assert cli_main(base) == 0
+    plain = capsys.readouterr().out.split()
+
+    # self-consistency: bigram rescoring keeps the search's 1-best
+    rc = cli_main(base + ["--nbest", "3", "--rescore-lm", lm])
+    out = capsys.readouterr()
+    assert rc == 0
+    assert out.out.split() == plain
+    assert "#1" in out.err and "seg 0" in out.err
+
+    # trigram rescoring runs end-to-end and ranks by score
+    rc = cli_main(base + ["--nbest", "3", "--rescore-lm", str(lm3)])
+    out = capsys.readouterr()
+    assert rc == 0
+    scores = [float(m) for m in
+              re.findall(r"#\d+ (-?[\d.]+)", out.err)]
+    assert scores == sorted(scores, reverse=True)

@@ -1,0 +1,222 @@
+"""Word lattices, N-best extraction, and higher-order LM rescoring."""
+
+import math
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from lnasr_tpu.models.decoder import (
+    DecoderConfig,
+    FactoredDecodingGraph,
+    TrigramDecodingGraph,
+)
+from lnasr_tpu.models.lattice import WordLattice, lm_conditional
+from lnasr_tpu.models.lexicon import Lexicon
+from lnasr_tpu.models.ngram import BOS, NGramCounter, NGramModel, Tokenizer
+
+from tests.test_decoder import _emit, _make_unit, _silence_unit, small_world  # noqa: F401
+
+
+def _bigram(corpus):
+    return NGramModel(NGramCounter(2, [Tokenizer.get_tokens(s) for s in corpus]))
+
+
+def _trigram(corpus):
+    return NGramModel(NGramCounter(3, [Tokenizer.get_tokens(s) for s in corpus]))
+
+
+def test_lattice_best_path_matches_decode(small_world):
+    """The lattice 1-best must reproduce the Viterbi decode, words and
+    score, with and without an LM."""
+    units, lex = small_world
+    rng = np.random.default_rng(50)
+    feats = np.concatenate(
+        [_emit(units, lex[w], 4, rng) for w in ["charlie", "alpha", "bravo"]]
+    )
+    for lm in (None, _bigram(["alpha bravo charlie", "charlie alpha"])):
+        cfg = DecoderConfig(lm_scale=2.0, word_insertion_penalty=-0.4)
+        g = FactoredDecodingGraph.build(lex, units, lm, cfg, dtype=jnp.float64)
+        words, _, score = g.decode(feats)
+        lat = g.decode_lattice(feats, beam=np.inf)
+        hyps = lat.nbest(1)
+        assert hyps[0].words == words
+        assert hyps[0].score == pytest.approx(score, rel=1e-12, abs=1e-9)
+
+
+def test_nbest_scores_descend_and_are_distinct(small_world):
+    units, lex = small_world
+    rng = np.random.default_rng(51)
+    feats = np.concatenate(
+        [_emit(units, lex[w], 4, rng) for w in ["alpha", "bravo"]]
+    )
+    g = FactoredDecodingGraph.build(lex, units, None, DecoderConfig(),
+                                    dtype=jnp.float64)
+    hyps = g.decode_lattice(feats, beam=np.inf).nbest(5)
+    assert len(hyps) > 1
+    scores = [h.score for h in hyps]
+    assert scores == sorted(scores, reverse=True)
+    surfaces = [tuple(h.words) for h in hyps]
+    assert len(set(surfaces)) == len(surfaces)
+    # each hypothesis's token spans tile the utterance
+    for h in hyps:
+        assert h.tokens[0].start == 0
+        assert h.tokens[-1].end == feats.shape[0] - 1
+        for a, b in zip(h.tokens, h.tokens[1:]):
+            assert b.start == a.end + 1
+
+
+def test_bigram_rescore_is_self_consistent(small_world):
+    """Rescoring with the SAME bigram LM the lattice was decoded with must
+    reproduce each hypothesis's lattice score (the arc decomposition and
+    the path-score rules agree)."""
+    units, lex = small_world
+    lm = _bigram(["alpha bravo charlie", "charlie alpha", "bravo bravo alpha"])
+    cfg = DecoderConfig(lm_scale=1.5, word_insertion_penalty=-0.3)
+    g = FactoredDecodingGraph.build(lex, units, lm, cfg, dtype=jnp.float64)
+    rng = np.random.default_rng(52)
+    feats = np.concatenate(
+        [_emit(units, lex[w], 4, rng) for w in ["alpha", "bravo", "charlie"]]
+    )
+    lat = g.decode_lattice(feats, beam=np.inf)
+    for h in lat.nbest(4):
+        replayed = lat.lm_path_score(
+            h.tokens, lm, cfg.lm_scale, cfg.word_insertion_penalty,
+            cfg.exit_logp,
+        )
+        assert replayed == pytest.approx(h.score, rel=1e-12, abs=1e-9)
+
+
+def test_trigram_rescoring_fixes_bigram_error():
+    """The canonical two-word-history case: bigram decoding picks the
+    wrong word, lattice rescoring with the trigram recovers the truth and
+    agrees with the exact history-expanded graph."""
+    units = {
+        "P": _make_unit(-6.0),
+        "Q": _make_unit(-2.0),
+        "A": _make_unit(2.0),
+        "B": _make_unit(6.0),
+        "C": _make_unit(6.0),  # acoustically identical to B
+    }
+    lex = Lexicon({w.lower(): (w,) for w in units})
+    corpus = ["p a b"] * 10 + ["q a c"] * 12
+    lm = _trigram(corpus)
+    cfg = DecoderConfig(lm_scale=1.0)
+    g = FactoredDecodingGraph.build(lex, units, lm, cfg, dtype=jnp.float64)
+
+    rng = np.random.default_rng(31)
+    truth = ["p", "a", "b"]
+    feats = np.concatenate([_emit(units, lex[w], 4, rng) for w in truth])
+
+    bi_words, _, _ = g.decode(feats)
+    assert bi_words == ["p", "a", "c"]  # bigram-level search errs
+
+    lat = g.decode_lattice(feats, beam=np.inf)
+    rescored = lat.rescore(lm, n=3, lm_scale=cfg.lm_scale)
+    assert rescored[0].words == truth
+
+    tri_graph = TrigramDecodingGraph.build(lex, units, lm, cfg,
+                                           dtype=jnp.float64)
+    tri_words, _, _ = tri_graph.decode(feats)
+    assert rescored[0].words == tri_words
+
+
+def test_trigram_rescore_score_matches_expanded_graph():
+    """On the winning hypothesis, the lattice rescoring objective equals
+    the exact trigram graph's path score (same composition rules)."""
+    units = {
+        "P": _make_unit(-6.0),
+        "A": _make_unit(2.0),
+        "B": _make_unit(6.0),
+        "C": _make_unit(6.0),
+    }
+    lex = Lexicon({w.lower(): (w,) for w in units})
+    corpus = ["p a b"] * 8 + ["p a c"] * 3 + ["a c p"] * 2
+    lm = _trigram(corpus)
+    cfg = DecoderConfig(lm_scale=1.2, word_insertion_penalty=-0.2)
+    g = FactoredDecodingGraph.build(lex, units, lm, cfg, dtype=jnp.float64)
+    tri = TrigramDecodingGraph.build(lex, units, lm, cfg, dtype=jnp.float64)
+
+    rng = np.random.default_rng(53)
+    feats = np.concatenate(
+        [_emit(units, lex[w], 4, rng) for w in ["p", "a", "b"]]
+    )
+    _, _, tri_score = tri.decode(feats)
+    lat = g.decode_lattice(feats, beam=np.inf)
+    best = lat.rescore(lm, n=1, lm_scale=cfg.lm_scale,
+                       word_insertion_penalty=cfg.word_insertion_penalty,
+                       exit_logp=cfg.exit_logp)[0]
+    assert best.score == pytest.approx(tri_score, rel=1e-12, abs=1e-9)
+
+
+def test_lattice_beam_pruning_keeps_best_path(small_world):
+    units, lex = small_world
+    rng = np.random.default_rng(54)
+    feats = np.concatenate(
+        [_emit(units, lex[w], 4, rng) for w in ["bravo", "charlie"]]
+    )
+    g = FactoredDecodingGraph.build(lex, units, None, DecoderConfig(),
+                                    dtype=jnp.float64)
+    full = g.decode_lattice(feats, beam=np.inf)
+    pruned = g.decode_lattice(feats, beam=20.0, max_tokens_per_frame=2)
+    assert len(pruned) < len(full)
+    assert pruned.nbest(1)[0].words == full.nbest(1)[0].words
+    assert pruned.nbest(1)[0].score == pytest.approx(
+        full.nbest(1)[0].score, rel=1e-12
+    )
+
+
+def test_masked_lattice_equals_unpadded(small_world):
+    units, lex = small_world
+    rng = np.random.default_rng(55)
+    feats = np.concatenate(
+        [_emit(units, lex[w], 5, rng) for w in ["bravo", "alpha"]]
+    )
+    t = feats.shape[0]
+    feats_pad = np.concatenate([feats, rng.normal(size=(6, feats.shape[1]))])
+    mask = np.arange(t + 6) < t
+    g = FactoredDecodingGraph.build(lex, units, None, DecoderConfig(),
+                                    dtype=jnp.float64)
+    a = g.decode_lattice(feats, beam=np.inf).nbest(3)
+    b = g.decode_lattice(feats_pad, mask=mask, beam=np.inf).nbest(3)
+    assert [h.words for h in a] == [h.words for h in b]
+    for x, y in zip(a, b):
+        assert x.score == pytest.approx(y.score, rel=1e-12)
+
+
+def test_lattice_with_silence_rescoring(small_world):
+    """Silence tokens ride the lattice but never surface; rescoring keeps
+    one word of history across the gap."""
+    units, lex = small_world
+    sil = _silence_unit()
+    lm = _trigram(["alpha charlie", "charlie alpha", "alpha bravo"])
+    cfg = DecoderConfig()
+    g = FactoredDecodingGraph.build(lex, units, lm, cfg, silence_model=sil,
+                                    dtype=jnp.float64)
+    rng = np.random.default_rng(56)
+    sil_frames = np.asarray(sil.mu)[0, 0] + rng.normal(scale=0.05, size=(6, 3))
+    feats = np.concatenate([
+        _emit(units, lex["alpha"], 4, rng),
+        sil_frames,
+        _emit(units, lex["charlie"], 4, rng),
+    ])
+    lat = g.decode_lattice(feats, beam=np.inf)
+    best = lat.rescore(lm, n=2)[0]
+    assert best.words == ["alpha", "charlie"]
+    assert any(g.words[t.word_id] == "<sil>" for t in best.tokens)
+    assert math.isfinite(best.score)
+
+
+def test_lm_conditional_uses_matching_level():
+    lm = _trigram(["a b c", "a b d", "b c d"])
+    # one-word context against a trigram model must hit the bigram level
+    bigram = lm._level(2)
+    assert lm_conditional(lm, "b", ("a",)) == pytest.approx(
+        bigram.logprob("b", ("a",))
+    )
+    # BOS context scores sentence-initial probability
+    assert math.isfinite(lm_conditional(lm, "a", (BOS,)))
+    # full two-word context uses the trigram level itself
+    assert lm_conditional(lm, "c", ("a", "b")) == pytest.approx(
+        lm.logprob("c", ("a", "b"))
+    )

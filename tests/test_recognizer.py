@@ -252,3 +252,30 @@ def test_acoustic_model_save_load(tmp_path, trained_recognizer):
             float(rec.am.units[unit].calc_prob(f)),
             rtol=1e-9,
         )
+
+
+def test_recognizer_nbest(trained_recognizer):
+    """End-to-end N-best: the 1-best hypothesis equals the plain decode,
+    alternatives come back ranked, and rescoring with the decoding LM
+    keeps the ranking (self-consistency at the API level)."""
+    rec, rng = trained_recognizer
+    fact = Recognizer(rec.am, rec.lexicon, rec.lm, vad=None,
+                      graph="factored",
+                      decoder_config=DecoderConfig(lm_scale=0.5))
+    truth = ["low", "mid", "high"]
+    audio = _utterance(truth, rng, gap=0.12)
+    plain = fact.recognize(audio).split()
+
+    seg_lists = fact.recognize_nbest(audio, n=4)
+    assert len(seg_lists) == 1
+    hyps = seg_lists[0]
+    assert hyps[0].words == plain
+    scores = [h.score for h in hyps]
+    assert scores == sorted(scores, reverse=True)
+
+    rescored = fact.recognize_nbest(audio, n=4, rescore_lm=fact.lm)[0]
+    assert rescored[0].words
+    assert all(np.isfinite(h.score) for h in rescored)
+
+    with pytest.raises(ValueError, match="factored"):
+        rec.decode_segment_nbest(audio, n=2)
