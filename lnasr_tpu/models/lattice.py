@@ -215,6 +215,76 @@ class WordLattice:
                 break
         return hyps
 
+    # -- posteriors / confidence ---------------------------------------------
+
+    def posteriors(self) -> np.ndarray:
+        """Token posterior probabilities by forward-backward over the DAG.
+
+        ``fwd[i]`` sums (log-space) all paths from sentence start through
+        token i; ``bwd[i]`` sums all completions after it; the posterior is
+        ``exp(fwd + bwd - total)``. Every path enters at exactly one
+        frame-0 token and leaves at exactly one final token, so posteriors
+        of tokens starting at frame 0 sum to 1, as do those of tokens
+        ending at the last frame (tested invariants).
+
+        The mass is restricted to the paths present in the lattice (the
+        usual lattice-posterior approximation): tighter beams concentrate
+        it, ``beam=inf`` lattices carry everything the bigram search saw.
+        """
+        n = len(self.tokens)
+        fwd = np.full(n, -np.inf)
+        bwd = np.full(n, -np.inf)
+        for t in range(self.n_frames):
+            for i in self._by_start.get(t, ()):
+                tok = self.tokens[i]
+                acc = -np.inf
+                if t == 0:
+                    acc = self.log_pi_w[tok.word_id] + tok.ac
+                for j in self._by_end.get(t - 1, ()):
+                    arc = self.hop[self.tokens[j].word_id, tok.word_id]
+                    acc = np.logaddexp(acc, fwd[j] + arc + tok.ac)
+                fwd[i] = acc
+        for t in range(self.n_frames - 1, -1, -1):
+            for i in self._by_end.get(t, ()):
+                tok = self.tokens[i]
+                acc = -np.inf
+                if t == self.n_frames - 1:
+                    acc = self.log_final_w[tok.word_id]
+                for j in self._by_start.get(t + 1, ()):
+                    succ = self.tokens[j]
+                    arc = self.hop[tok.word_id, succ.word_id]
+                    acc = np.logaddexp(acc, arc + succ.ac + bwd[j])
+                bwd[i] = acc
+        total = -np.inf
+        for i in self._by_end.get(self.n_frames - 1, ()):
+            total = np.logaddexp(total, fwd[i] + self.log_final_w[
+                self.tokens[i].word_id])
+        with np.errstate(invalid="ignore"):
+            post = np.exp(fwd + bwd - total)
+        # float32 search scores can round a certain token to 1 + O(1e-4)
+        return np.clip(np.nan_to_num(post, nan=0.0), 0.0, 1.0)
+
+    def confidences(self, hypothesis: "Hypothesis") -> List[float]:
+        """Per-surface-word confidence for a hypothesis: the posterior mass
+        of all lattice tokens carrying the same word whose span overlaps
+        the hypothesis token's span (word-posterior confidence, clipped to
+        1). Silence tokens are skipped, matching ``Hypothesis.words``."""
+        post = self.posteriors()
+        out: List[float] = []
+        for tok in hypothesis.tokens:
+            if self.words[tok.word_id] == SILENCE:
+                continue
+            mass = 0.0
+            for i, other in enumerate(self.tokens):
+                if (
+                    other.word_id == tok.word_id
+                    and other.start <= tok.end
+                    and other.end >= tok.start
+                ):
+                    mass += float(post[i])
+            out.append(min(1.0, mass))
+        return out
+
     # -- rescoring -----------------------------------------------------------
 
     def lm_path_score(

@@ -220,3 +220,54 @@ def test_lm_conditional_uses_matching_level():
     assert lm_conditional(lm, "c", ("a", "b")) == pytest.approx(
         lm.logprob("c", ("a", "b"))
     )
+
+
+def test_posteriors_invariants_and_confidence(small_world):
+    """Forward-backward posteriors: entry/exit mass each sums to 1, values
+    lie in [0, 1], and in a clean utterance the decoded words carry
+    near-certain confidence."""
+    units, lex = small_world
+    rng = np.random.default_rng(57)
+    feats = np.concatenate(
+        [_emit(units, lex[w], 4, rng) for w in ["charlie", "alpha"]]
+    )
+    g = FactoredDecodingGraph.build(lex, units, None, DecoderConfig(),
+                                    dtype=jnp.float64)
+    lat = g.decode_lattice(feats, beam=np.inf)
+    post = lat.posteriors()
+    assert post.shape == (len(lat),)
+    assert np.all(post >= 0) and np.all(post <= 1 + 1e-9)
+    entry = sum(post[i] for i, t in enumerate(lat.tokens) if t.start == 0)
+    final = sum(
+        post[i] for i, t in enumerate(lat.tokens)
+        if t.end == lat.n_frames - 1
+    )
+    assert entry == pytest.approx(1.0, abs=1e-9)
+    assert final == pytest.approx(1.0, abs=1e-9)
+
+    best = lat.nbest(1)[0]
+    conf = lat.confidences(best)
+    assert len(conf) == len(best.words) == 2
+    assert all(c > 0.95 for c in conf), conf
+
+
+def test_confidence_drops_when_acoustics_are_ambiguous():
+    """Two acoustically identical words must split the posterior mass, so
+    the winner's confidence sits near 1/2 instead of 1."""
+    units = {
+        "A": _make_unit(2.0),
+        "B": _make_unit(6.0),
+        "C": _make_unit(6.0),  # identical to B
+    }
+    lex = Lexicon({w.lower(): (w,) for w in units})
+    g = FactoredDecodingGraph.build(lex, units, None, DecoderConfig(),
+                                    dtype=jnp.float64)
+    rng = np.random.default_rng(58)
+    feats = np.concatenate(
+        [_emit(units, lex[w], 4, rng) for w in ["a", "b"]]
+    )
+    lat = g.decode_lattice(feats, beam=np.inf)
+    best = lat.nbest(1)[0]
+    conf = lat.confidences(best)
+    assert conf[0] > 0.9                      # "a" is unambiguous
+    assert 0.3 < conf[1] < 0.7, conf          # "b" vs "c" is a coin flip
