@@ -158,6 +158,17 @@ def main(workdir=None) -> float:
     overall = total["err"] / total["n"]
     print(f"\nWER report (real audio, {total['n']} ref words): "
           f"{overall:.3f}")
+
+    # -- N-best + trigram lattice rescoring on the last utterance -----------
+    lm3 = os.path.join(tmp, "words3.lm")
+    cli("lm-train", corpus, lm3, "--order", "3")
+    cmd = [sys.executable, "-m", "lnasr_tpu.cli", "recognize", upath,
+           "--am", amdir, "--lex", lex, "--lm", lm, "--lm-scale", "0.5",
+           "--word-penalty", "-8.0", "--nbest", "3", "--rescore-lm", lm3]
+    out = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True)
+    if out.returncode == 0:
+        print("\ntrigram-rescored N-best (last utterance):")
+        print(out.stderr.strip())
     return overall
 
 
