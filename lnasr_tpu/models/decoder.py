@@ -808,6 +808,59 @@ class FactoredDecodingGraph:
             max_tokens_per_frame=max_tokens_per_frame,
         )
 
+    @functools.cached_property
+    def _lattice_batch_fn(self):
+        cov_type = self.cov_type
+
+        def one(obs, mask, inner_a, hop, log_pi_w, log_final_w, exit_idx,
+                state_map, pad_mask, log_w, mu, cov):
+            log_b, pi_grid, _ = _factored_grid_inputs(
+                obs, log_pi_w, log_final_w, exit_idx, state_map, pad_mask,
+                log_w, mu, cov, cov_type,
+            )
+            return factored_lattice_scan(
+                log_b, inner_a, hop, pi_grid, exit_idx, mask
+            )
+
+        return jax.jit(jax.vmap(one, in_axes=(0, 0) + (None,) * 10))
+
+    def decode_lattice_batch(self, features, masks, beam: float = 40.0,
+                             max_tokens_per_frame: Optional[int] = None):
+        """Lattice-record a padded ``(B, T, D)`` batch (with ``(B, T)``
+        frame masks) in ONE vmapped program and build per-utterance
+        :class:`~lnasr_tpu.models.lattice.WordLattice` objects — the
+        serving path for N-best over bucketed segments. Identical to
+        looping :meth:`decode_lattice`."""
+        from lnasr_tpu.models.lattice import WordLattice
+
+        if self.hop is None:
+            raise ValueError("lattice decoding requires a looped graph "
+                             "(DecoderConfig(loop=True))")
+        obs = jnp.asarray(features, self.dtype)
+        masks = jnp.asarray(masks, bool)
+        exit_score, exit_start, exit_pred, _ = self._lattice_batch_fn(
+            obs, masks, self.inner_a, self.hop, self.log_pi_w,
+            self.log_final_w, self.exit_idx, self.state_map, self.pad_mask,
+            self.log_w, self.mu, self.cov,
+        )
+        exit_score, exit_start, exit_pred = (
+            np.asarray(exit_score), np.asarray(exit_start),
+            np.asarray(exit_pred),
+        )
+        hop_np = np.asarray(self.hop)
+        pi_np = np.asarray(self.log_pi_w)
+        fin_np = np.asarray(self.log_final_w)
+        out = []
+        for b in range(obs.shape[0]):
+            n_valid = int(np.asarray(masks[b]).sum())
+            out.append(WordLattice.from_records(
+                self.words, exit_score[b, :n_valid],
+                exit_start[b, :n_valid], exit_pred[b, :n_valid],
+                hop_np, pi_np, fin_np, beam=beam,
+                max_tokens_per_frame=max_tokens_per_frame,
+            ))
+        return out
+
     def _path_to_words(self, path: np.ndarray) -> List[str]:
         s_max = self.grid_shape[1]
         word_ids, locals_ = path // s_max, path % s_max

@@ -271,3 +271,32 @@ def test_confidence_drops_when_acoustics_are_ambiguous():
     conf = lat.confidences(best)
     assert conf[0] > 0.9                      # "a" is unambiguous
     assert 0.3 < conf[1] < 0.7, conf          # "b" vs "c" is a coin flip
+
+
+def test_lattice_batch_matches_loop(small_world):
+    """One vmapped lattice program over a padded batch == per-utterance
+    decode_lattice calls (N-best words and scores identical)."""
+    units, lex = small_world
+    g = FactoredDecodingGraph.build(lex, units, None, DecoderConfig(),
+                                    dtype=jnp.float64)
+    rng = np.random.default_rng(59)
+    seqs = [["alpha", "bravo"], ["charlie"], ["bravo", "charlie", "alpha"]]
+    feats = [
+        np.concatenate([_emit(units, lex[w], 4, rng) for w in seq])
+        for seq in seqs
+    ]
+    t_max = max(f.shape[0] for f in feats)
+    batch = np.zeros((len(feats), t_max, feats[0].shape[1]))
+    masks = np.zeros((len(feats), t_max), bool)
+    for i, f in enumerate(feats):
+        batch[i, : f.shape[0]] = f
+        masks[i, : f.shape[0]] = True
+
+    lats = g.decode_lattice_batch(batch, masks, beam=np.inf)
+    for i, f in enumerate(feats):
+        solo = g.decode_lattice(batch[i], masks[i], beam=np.inf)
+        a, b = lats[i].nbest(3), solo.nbest(3)
+        assert [h.words for h in a] == [h.words for h in b]
+        assert a[0].words == seqs[i]
+        for x, y in zip(a, b):
+            assert x.score == pytest.approx(y.score, rel=1e-12)
