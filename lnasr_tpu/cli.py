@@ -189,7 +189,9 @@ def _cmd_recognize(args) -> int:
 
         vad = AmrWbVad()
     graph = args.graph
-    if (args.nbest > 1 or args.rescore_lm) and graph in ("auto", "dense"):
+    if (args.nbest > 1 or args.rescore_lm or args.confidence) and graph in (
+        "auto", "dense"
+    ):
         graph = "factored"  # lattices live on the factored search
     rec = Recognizer(
         am, lexicon, lm, vad=vad, graph=graph,
@@ -199,18 +201,26 @@ def _cmd_recognize(args) -> int:
         ),
     )
     audio = _read_audio(args.audio)
-    if args.nbest > 1 or args.rescore_lm:
+    if args.nbest > 1 or args.rescore_lm or args.confidence:
         rescore = LanguageModel(args.rescore_lm) if args.rescore_lm else None
         seg_lists = rec.recognize_nbest(audio, n=args.nbest,
-                                        rescore_lm=rescore)
+                                        rescore_lm=rescore,
+                                        with_confidence=args.confidence)
         hyp = " ".join(
             w for hyps in seg_lists if hyps for w in hyps[0].words
         )
         print(hyp)
         for si, hyps in enumerate(seg_lists):
             for rank, h in enumerate(hyps):
-                print(f"seg {si} #{rank + 1} {h.score:.3f}  "
-                      f"{' '.join(h.words)}", file=sys.stderr)
+                if args.confidence and h.confidence is not None:
+                    rendered = " ".join(
+                        f"{w}({c:.2f})"
+                        for w, c in zip(h.words, h.confidence)
+                    )
+                else:
+                    rendered = " ".join(h.words)
+                print(f"seg {si} #{rank + 1} {h.score:.3f}  {rendered}",
+                      file=sys.stderr)
     else:
         hyp = rec.recognize(audio)
         print(hyp)
@@ -294,6 +304,9 @@ def main(argv=None) -> int:
                    help="ARPA LM (usually trigram+) for lattice N-best "
                         "rescoring — the scalable alternative to "
                         "--graph trigram")
+    p.add_argument("--confidence", action="store_true",
+                   help="annotate hypotheses with per-word lattice-"
+                        "posterior confidences")
     p.add_argument("--ref", default=None,
                    help="reference transcript; prints a WER report to stderr")
     p.add_argument("--tpu", action="store_true",

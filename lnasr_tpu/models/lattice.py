@@ -65,11 +65,13 @@ class WordToken:
 @dataclasses.dataclass
 class Hypothesis:
     """An N-best entry: surface words (silence removed), the underlying
-    token sequence (silence included), and the total path score."""
+    token sequence (silence included), the total path score, and (when
+    requested) per-surface-word posterior confidences."""
 
     words: List[str]
     tokens: List[WordToken]
     score: float
+    confidence: Optional[List[float]] = None
 
 
 class WordLattice:
@@ -264,12 +266,15 @@ class WordLattice:
         # float32 search scores can round a certain token to 1 + O(1e-4)
         return np.clip(np.nan_to_num(post, nan=0.0), 0.0, 1.0)
 
-    def confidences(self, hypothesis: "Hypothesis") -> List[float]:
+    def confidences(self, hypothesis: "Hypothesis",
+                    post: Optional[np.ndarray] = None) -> List[float]:
         """Per-surface-word confidence for a hypothesis: the posterior mass
         of all lattice tokens carrying the same word whose span overlaps
         the hypothesis token's span (word-posterior confidence, clipped to
-        1). Silence tokens are skipped, matching ``Hypothesis.words``."""
-        post = self.posteriors()
+        1). Silence tokens are skipped, matching ``Hypothesis.words``.
+        Pass precomputed :meth:`posteriors` to score many hypotheses."""
+        if post is None:
+            post = self.posteriors()
         out: List[float] = []
         for tok in hypothesis.tokens:
             if self.words[tok.word_id] == SILENCE:

@@ -252,7 +252,8 @@ class Recognizer:
 
     def decode_segment_nbest(self, audio_seg, n: int = 5,
                              rescore_lm=None, pool: Optional[int] = None,
-                             beam: float = 40.0):
+                             beam: float = 40.0,
+                             with_confidence: bool = False):
         """N-best hypotheses for one speech segment via a word lattice
         (:meth:`FactoredDecodingGraph.decode_lattice`); requires the
         ``"factored"`` graph. ``rescore_lm`` (an :class:`NGramModel` or
@@ -270,14 +271,20 @@ class Recognizer:
         feats, mask = self._segment_features(audio_seg)
         lattice = self.graph.decode_lattice(feats, mask, beam=beam)
         if rescore_lm is None:
-            return lattice.nbest(n)
-        ngram = getattr(rescore_lm, "ngram", rescore_lm)
-        cfg = self.decoder_config
-        return lattice.rescore(
-            ngram, n=n, pool=pool, lm_scale=cfg.lm_scale,
-            word_insertion_penalty=cfg.word_insertion_penalty,
-            exit_logp=cfg.exit_logp,
-        )
+            hyps = lattice.nbest(n)
+        else:
+            ngram = getattr(rescore_lm, "ngram", rescore_lm)
+            cfg = self.decoder_config
+            hyps = lattice.rescore(
+                ngram, n=n, pool=pool, lm_scale=cfg.lm_scale,
+                word_insertion_penalty=cfg.word_insertion_penalty,
+                exit_logp=cfg.exit_logp,
+            )
+        if with_confidence:
+            post = lattice.posteriors()
+            for h in hyps:
+                h.confidence = lattice.confidences(h, post)
+        return hyps
 
     def recognize(self, audio) -> str:
         """Audio in, text out — the method the reference never implemented
@@ -286,7 +293,8 @@ class Recognizer:
         return " ".join(w for seg in segments for w in seg.words)
 
     def recognize_nbest(self, audio, n: int = 5, rescore_lm=None,
-                        pool: Optional[int] = None) -> List[List]:
+                        pool: Optional[int] = None,
+                        with_confidence: bool = False) -> List[List]:
         """Per-VAD-segment N-best lists (see :meth:`decode_segment_nbest`)."""
         audio = np.asarray(audio)
         if self.vad is not None:
@@ -298,7 +306,8 @@ class Recognizer:
         else:
             segments = [(0, len(audio))]
         return [
-            self.decode_segment_nbest(audio[a:b], n, rescore_lm, pool)
+            self.decode_segment_nbest(audio[a:b], n, rescore_lm, pool,
+                                      with_confidence=with_confidence)
             for a, b in segments
         ]
 

@@ -135,3 +135,19 @@ def test_cli_recognize_nbest_with_rescoring(cli_models, capsys):
     scores = [float(m) for m in
               re.findall(r"#\d+ (-?[\d.]+)", out.err)]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_cli_recognize_confidence(cli_models, capsys):
+    """--confidence annotates every hypothesis word with a (0..1] posterior."""
+    tmp, amdir, lex, lm, rng = cli_models
+    upath = tmp / "conf.pcm"
+    write_pcm(str(upath), np.concatenate(
+        [_gap(rng, 0.2), _word_audio("high", rng), _gap(rng, 0.2)]))
+    rc = cli_main(["recognize", str(upath), "--am", amdir, "--lex", lex,
+                   "--lm", lm, "--lm-scale", "0.5",
+                   "--word-penalty", "-40.0", "--confidence"])
+    out = capsys.readouterr()
+    assert rc == 0
+    confs = [float(c) for c in re.findall(r"\((\d\.\d+)\)", out.err)]
+    assert confs and all(0.0 <= c <= 1.0 for c in confs)
+    assert len(confs) >= len(out.out.split())
