@@ -153,6 +153,45 @@ class WordLattice:
     def __len__(self) -> int:
         return len(self.tokens)
 
+    # -- persistence ---------------------------------------------------------
+
+    def save(self, filename: str) -> None:
+        """Write the lattice as JSON (words, tokens, word-level scores) so
+        decoding and rescoring can run in separate processes — decode once
+        on device, rescore later with any LM on host."""
+        import json
+
+        payload = {
+            "format": "lnasr_tpu-word-lattice-v1",
+            "words": self.words,
+            "n_frames": self.n_frames,
+            "tokens": [
+                [t.word_id, t.start, t.end, t.ac] for t in self.tokens
+            ],
+            "log_pi_w": self.log_pi_w.tolist(),
+            "log_final_w": self.log_final_w.tolist(),
+            "hop": self.hop.tolist(),
+        }
+        with open(filename, "w", encoding="utf-8") as fp:
+            json.dump(payload, fp)
+
+    @classmethod
+    def load(cls, filename: str) -> "WordLattice":
+        import json
+
+        with open(filename, encoding="utf-8") as fp:
+            payload = json.load(fp)
+        if payload.get("format") != "lnasr_tpu-word-lattice-v1":
+            raise ValueError(f"{filename}: not a lnasr_tpu word lattice")
+        return cls(
+            payload["words"],
+            [WordToken(w, s, e, a) for w, s, e, a in payload["tokens"]],
+            np.asarray(payload["hop"]),
+            np.asarray(payload["log_pi_w"]),
+            np.asarray(payload["log_final_w"]),
+            int(payload["n_frames"]),
+        )
+
     # -- N-best --------------------------------------------------------------
 
     def nbest(self, n: int, unique: bool = True) -> List[Hypothesis]:

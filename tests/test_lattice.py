@@ -300,3 +300,30 @@ def test_lattice_batch_matches_loop(small_world):
         assert a[0].words == seqs[i]
         for x, y in zip(a, b):
             assert x.score == pytest.approx(y.score, rel=1e-12)
+
+
+def test_lattice_save_load_roundtrip(tmp_path, small_world):
+    """Decode once, rescore later: a saved lattice reloads to identical
+    N-best and rescoring results (including -inf hop entries)."""
+    units, lex = small_world
+    sil = _silence_unit()
+    lm = _trigram(["alpha charlie", "charlie alpha", "alpha bravo"])
+    g = FactoredDecodingGraph.build(lex, units, lm, DecoderConfig(),
+                                    silence_model=sil, dtype=jnp.float64)
+    rng = np.random.default_rng(60)
+    feats = np.concatenate(
+        [_emit(units, lex[w], 4, rng) for w in ["alpha", "charlie"]]
+    )
+    lat = g.decode_lattice(feats, beam=np.inf)
+    path = str(tmp_path / "utt.lat")
+    lat.save(path)
+    loaded = WordLattice.load(path)
+    assert len(loaded) == len(lat)
+    a, b = lat.nbest(3), loaded.nbest(3)
+    assert [h.words for h in a] == [h.words for h in b]
+    for x, y in zip(a, b):
+        assert x.score == pytest.approx(y.score, rel=1e-12)
+    ra = lat.rescore(lm, n=2)[0]
+    rb = loaded.rescore(lm, n=2)[0]
+    assert ra.words == rb.words
+    assert ra.score == pytest.approx(rb.score, rel=1e-12)
