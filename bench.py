@@ -2,20 +2,42 @@
 """Headline benchmark: audio-seconds decoded per second, MFCC + GMM-HMM
 Viterbi (BASELINE.json metric).
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "audio-seconds/s", "vs_baseline": N}
+Prints ONE JSON line with the headline median plus the evidence needed to
+tell a real regression from tunnel noise:
 
-``value`` is the jit-compiled batched pipeline on the default JAX device
-(one TPU chip under the driver). ``vs_baseline`` divides by the
-reference's CPU formulation measured in-process: vectorized-NumPy MFCC
-(exactly the reference's array style, ``lnasr/mfcc.py:108-175``) plus the
-reference's per-cell Python-loop trellis with a log-sum-exp per cell
-(``lnasr/hmm.py:97-99,162-166``) and per-component emission loops
-(``lnasr/gmmhmm.py:64-66``), on the same model topology (5 states x 8
-diagonal mixtures, 39-dim — BASELINE.json config 4).
+  {"metric": ..., "value": <median>, "unit": "audio-seconds/s",
+   "vs_baseline": <value / pinned CPU baseline>,
+   "spread": {"median": .., "min": .., "max": .., "trials": [..]},
+   "stages": {"frontend": {...}, "emissions": {...}, "viterbi": {...}},
+   "device": "...", "baseline": {"value": .., "provenance": "..."}}
+
+Each stage entry carries its measured per-call seconds, its audio-s/s,
+and speed-of-light accounting (MXU-issue FLOPs / minimal HBM traffic vs
+chip peaks, and which limiter binds). See docs/performance.md for the
+derivations.
+
+Timing method. Individual dispatches are untimeable on tunneled TPU
+backends: every dispatch/fetch pays a large, *noisy* RPC round trip.
+The whole pipeline therefore runs ``n`` times inside one on-device
+``lax.fori_loop`` (input perturbed per iteration), the jit returns a
+scalar reduction, and a host fetch forces completion. Timing n=1 vs
+n=1+REPS and dividing the difference by REPS cancels the fixed overhead.
+REPS must dwarf the RPC jitter: at REPS=10 (rounds 1-2) the measurement
+window is ~20 ms, so +/-10 ms of tunnel jitter moved the headline by
+~50% — the r01 593k vs r02 351k "regression" was this noise, not the
+kernels (bench-path code was unchanged between rounds). At REPS=100 the
+window is ~200 ms and the same jitter is a ~5% effect; the median over
+``--trials`` independent differences is the reported value.
+
+The ``vs_baseline`` denominator is a PINNED constant (below) — the
+reference's CPU formulation re-measured per run drifted 34% between
+rounds with host load, poisoning the ratio. ``--measure-baseline``
+re-derives it for auditing.
 """
 
+import argparse
 import json
+import statistics
 import sys
 import time
 
@@ -25,9 +47,35 @@ SR = 16000
 N_STATES, N_MIX, DIM = 5, 8, 39
 BATCH = 64
 UTT_SECONDS = 10.0
-TPU_REPS = 10
+TPU_REPS = 100  # loop-difference reps; see module docstring for why 100
+DEFAULT_TRIALS = 5
 BASELINE_SECONDS = 2.0  # audio length for the (slow) reference-style run
-_TRIALS = 3  # best-of trials for both device and CPU timings
+
+# Pinned CPU baseline (audio-seconds/s): the reference's own formulation
+# (vectorized-NumPy MFCC exactly as lnasr/mfcc.py:108-175, per-cell
+# Python-loop Viterbi as hmm.py:162-166, per-component emission loops as
+# gmmhmm.py:64-66) on this machine, BASELINE_SECONDS of audio, same
+# 5x8x39 diagonal topology. Median of 11 quiet-host trials, 2026-08-21
+# (round 3); rounds 1-2 re-measured it per run and got 145-194 depending
+# on concurrent load, which is why it is now pinned. Re-derive with
+# --measure-baseline.
+BASELINE_AUDIO_S_PER_S = 187.0
+BASELINE_PROVENANCE = (
+    "pinned 2026-08-21 (round 3): median of 11 quiet-host trials of the "
+    "reference-style NumPy pipeline on this machine; see bench.py"
+)
+
+# Per-chip peaks for speed-of-light accounting, keyed by substrings of
+# jax.Device.device_kind. (bf16 MXU TFLOP/s, HBM GB/s.) Public numbers.
+_CHIP_PEAKS = {
+    "v6": (918e12, 1640e9),  # Trillium
+    "v5p": (459e12, 2765e9),
+    "v5e": (197e12, 819e9),
+    "v5": (197e12, 819e9),
+    "v4": (275e12, 1228e9),
+    "v3": (123e12, 900e9),
+    "v2": (46e12, 700e9),
+}
 
 
 def _make_audio(batch: int, seconds: float, seed: int = 0) -> np.ndarray:
@@ -65,18 +113,83 @@ def _enable_compile_cache():
         pass
 
 
-def tpu_throughput() -> float:
-    """Device throughput via the loop-difference method.
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
 
-    Timing individual dispatches is unreliable on tunneled TPU backends:
-    ``block_until_ready`` can return before execution completes, and every
-    dispatch/fetch pays a large RPC round trip. Instead the whole pipeline
-    runs ``n`` times inside one on-device ``lax.fori_loop`` (the input is
-    perturbed per iteration so no two trips are identical), the jit returns
-    a scalar reduction, and a host fetch of that scalar forces true
-    completion. Timing n=1 vs n=1+TPU_REPS and dividing the difference by
-    TPU_REPS cancels the fixed dispatch/fetch overhead exactly.
+
+def _chip_peaks(device_kind: str):
+    kind = device_kind.lower()
+    for key, peaks in _CHIP_PEAKS.items():
+        if key in kind:
+            return peaks
+    return None
+
+
+def _num_frames(n_samples: int) -> int:
+    from lnasr_tpu.config import MFCCConfig
+    from lnasr_tpu.ops.framing import num_frames
+
+    cfg = MFCCConfig()
+    return num_frames(n_samples, cfg.frame_len, cfg.frame_step)
+
+
+def _stage_accounting(t_frames: int):
+    """Analytic MXU-issue FLOPs and minimal HBM bytes per pipeline call.
+
+    "mxu_flops" counts what the MXU actually executes: bf16 passes x
+    2*M*K*N on lane-padded shapes (split-bf16 products issue 3 passes at
+    the fast setting, 6 at f32-faithful / HIGHEST). "hbm_bytes" is the
+    unavoidable traffic: every input read once + every output written
+    once (intermediates that stay in VMEM are free). Derivations in
+    docs/performance.md ("Speed of light").
     """
+    b, t = BATCH, t_frames
+    t_pad = _ceil_to(t, 128)
+    n_samp = int(SR * UTT_SECONDS)
+
+    # Frontend (ops/mfcc_pallas.py): DFT GEMM (T,400)@(400,640) as 3
+    # bf16 passes + mel GEMM (T,384)@(384,128) as 3 passes. Input: the
+    # reshaped pre-emphasized signal, f32; output: (T_pad,128) mel block.
+    fe_flops = b * (3 * 2 * t_pad * 400 * 640 + 3 * 2 * t_pad * 384 * 128)
+    fe_bytes = b * (n_samp * 4 + t_pad * 128 * 4)
+
+    # Emissions (ops/gaussian.py): one HIGHEST (6-pass) GEMM
+    # (B*T, 79)@(79, 40), lanes padded to 128, contraction to 128.
+    em_flops = 6 * 2 * (b * t) * 128 * 128
+    em_bytes = b * t * (39 * 4 + (2 * 39 + 1) * 4 + N_STATES * 4)
+
+    # Viterbi (ops/trellis_pallas.py): VPU max-plus, no MXU. HBM: read
+    # (T, 8, B) f32 emissions, write (T, B) i32 path; trellis + back-
+    # pointers live in VMEM.
+    vit_flops = 0
+    vit_bytes = t * 8 * b * 4 + t * b * 4
+
+    return {
+        "frontend": {"mxu_flops": fe_flops, "hbm_bytes": fe_bytes},
+        "emissions": {"mxu_flops": em_flops, "hbm_bytes": em_bytes},
+        "viterbi": {"mxu_flops": vit_flops, "hbm_bytes": vit_bytes},
+    }
+
+
+def _sol(entry: dict, seconds: float, peaks):
+    """Attach achieved rates and % of speed-of-light to a stage entry."""
+    entry["seconds_per_call"] = seconds
+    entry["audio_s_per_s"] = BATCH * UTT_SECONDS / seconds
+    if seconds > 0:
+        entry["achieved_tflops"] = entry["mxu_flops"] / seconds / 1e12
+        entry["achieved_gbps"] = entry["hbm_bytes"] / seconds / 1e9
+    if peaks is not None and seconds > 0:
+        peak_flops, peak_bw = peaks
+        t_flops = entry["mxu_flops"] / peak_flops
+        t_bw = entry["hbm_bytes"] / peak_bw
+        sol_time = max(t_flops, t_bw)
+        entry["limiter"] = "mxu" if t_flops >= t_bw else "hbm"
+        entry["pct_sol"] = 100.0 * sol_time / seconds
+    return entry
+
+
+def tpu_measurements(trials: int = DEFAULT_TRIALS, reps: int = TPU_REPS):
+    """Run the headline pipeline and its stages on the default device."""
     import jax
     import jax.numpy as jnp
 
@@ -92,38 +205,75 @@ def tpu_throughput() -> float:
     rng = np.random.default_rng(0)
     log_a, log_pi, log_w, mu, var = (jnp.asarray(p, dtype) for p in _model_params(rng))
 
-    def pipeline_once(signals):
-        # fused Pallas frontend (framing+DFT+power+mel in VMEM, 3-pass
-        # split-bf16 DFT, ~2^-18 relative error — ops/mfcc_pallas.py)
-        feats, _ = mfcc_features_fused(signals, cfg, dtype=dtype)
-        log_b = jax.vmap(lambda f: gmm_emissions_diag(f, log_w, mu, var)[0])(feats)
-        return viterbi_pallas(log_pi, log_a, log_b)
+    def frontend(signals):
+        return mfcc_features_fused(signals, cfg, dtype=dtype)[0]
 
-    def make_loop(nreps: int):
+    def emissions(feats):
+        return jax.vmap(lambda f: gmm_emissions_diag(f, log_w, mu, var)[0])(feats)
+
+    def viterbi(log_b):
+        paths, scores = viterbi_pallas(log_pi, log_a, log_b)
+        return scores.sum() + paths.sum().astype(dtype)
+
+    def pipeline(signals):
+        return viterbi(emissions(frontend(signals)))
+
+    audio = jnp.asarray(_make_audio(BATCH, UTT_SECONDS)).astype(dtype)
+    feats0 = jax.jit(frontend)(audio)
+    feats0.block_until_ready()
+    log_b0 = jax.jit(emissions)(feats0)
+    log_b0.block_until_ready()
+
+    def make_loop(fn, x, nreps):
+        """fn runs nreps times in one on-device fori_loop; the input is
+        perturbed per iteration so no two trips are identical."""
+
         @jax.jit
-        def run(signals):
+        def run(arr):
             def body(i, acc):
-                paths, scores = pipeline_once(signals + i.astype(dtype) * 1e-6)
-                return acc + scores.sum() + paths.sum().astype(dtype)
+                out = fn(arr + i.astype(dtype) * 1e-6)
+                return acc + jnp.sum(out).astype(dtype)
 
             return jax.lax.fori_loop(0, nreps, body, jnp.asarray(0.0, dtype))
 
-        return run
+        return lambda: np.asarray(run(x))
 
-    audio = jnp.asarray(_make_audio(BATCH, UTT_SECONDS)).astype(dtype)
-    run_1, run_n = make_loop(1), make_loop(1 + TPU_REPS)
-    np.asarray(run_1(audio)), np.asarray(run_n(audio))  # compile + warm up
+    def per_call_trials(fn, x):
+        run_1, run_n = make_loop(fn, x, 1), make_loop(fn, x, 1 + reps)
+        run_1(), run_n()  # compile + warm up
+        samples = []
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            run_1()
+            t1 = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            run_n()
+            tn = time.perf_counter() - t0
+            samples.append((tn - t1) / reps)
+        return samples
 
-    def timed(fn) -> float:
-        best = float("inf")
-        for _ in range(_TRIALS):
-            start = time.perf_counter()
-            np.asarray(fn(audio))  # fetch forces real completion
-            best = min(best, time.perf_counter() - start)
-        return best
+    head_samples = per_call_trials(pipeline, audio)
+    stage_samples = {
+        "frontend": per_call_trials(frontend, audio),
+        "emissions": per_call_trials(emissions, feats0),
+        "viterbi": per_call_trials(viterbi, log_b0),
+    }
 
-    per_call = (timed(run_n) - timed(run_1)) / TPU_REPS
-    return BATCH * UTT_SECONDS / per_call
+    t_frames = int(feats0.shape[1])
+    device = jax.devices()[0]
+    peaks = _chip_peaks(device.device_kind)
+    stages = _stage_accounting(t_frames)
+    for name, acc in stages.items():
+        _sol(acc, statistics.median(stage_samples[name]), peaks)
+        acc["trials_s"] = [round(s, 6) for s in stage_samples[name]]
+
+    throughputs = sorted(BATCH * UTT_SECONDS / s for s in head_samples)
+    return {
+        "device": device.device_kind,
+        "throughputs": throughputs,
+        "stages": stages,
+        "t_frames": t_frames,
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -174,31 +324,73 @@ def _reference_viterbi(log_pi, log_a, log_b):
     return path
 
 
-def baseline_throughput() -> float:
+def measure_baseline(trials: int = 11) -> dict:
+    """Re-derive the pinned CPU baseline (run on a QUIET host)."""
     rng = np.random.default_rng(0)
     log_a, log_pi, log_w, mu, var = _model_params(rng)
     audio = _make_audio(1, BASELINE_SECONDS)[0]
-    best = 0.0
-    for _ in range(3):  # best-of-3: shields the CPU baseline from host noise
+    _reference_mfcc(audio)  # warm imports out of the timed region
+    samples = []
+    for _ in range(trials):
         start = time.perf_counter()
         feats = _reference_mfcc(audio)
         log_b = _reference_emissions(feats, log_w, mu, var)
         _reference_viterbi(log_pi, log_a, log_b)
-        elapsed = time.perf_counter() - start
-        best = max(best, BASELINE_SECONDS / elapsed)
-    return best
+        samples.append(BASELINE_SECONDS / (time.perf_counter() - start))
+    samples.sort()
+    return {
+        "median": samples[len(samples) // 2],
+        "min": samples[0],
+        "max": samples[-1],
+        "trials": [round(s, 1) for s in samples],
+    }
 
 
 def main():
-    value = tpu_throughput()
-    base = baseline_throughput()
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--trials", type=int, default=DEFAULT_TRIALS)
+    ap.add_argument("--reps", type=int, default=TPU_REPS)
+    ap.add_argument(
+        "--measure-baseline",
+        action="store_true",
+        help="re-measure the CPU reference baseline instead of benching the TPU",
+    )
+    args = ap.parse_args()
+
+    if args.measure_baseline:
+        print(json.dumps({"baseline_audio_s_per_s": measure_baseline()}))
+        return
+
+    meas = tpu_measurements(trials=args.trials, reps=args.reps)
+    ths = meas["throughputs"]
+    value = statistics.median(ths)
+    stages = {
+        name: {
+            k: (round(v, 3) if isinstance(v, float) else v)
+            for k, v in acc.items()
+            if k != "trials_s"
+        }
+        for name, acc in meas["stages"].items()
+    }
     print(
         json.dumps(
             {
                 "metric": "audio-seconds/s per chip (MFCC + GMM-HMM Viterbi decode)",
                 "value": round(value, 2),
                 "unit": "audio-seconds/s",
-                "vs_baseline": round(value / base, 2),
+                "vs_baseline": round(value / BASELINE_AUDIO_S_PER_S, 2),
+                "spread": {
+                    "median": round(value, 2),
+                    "min": round(ths[0], 2),
+                    "max": round(ths[-1], 2),
+                    "trials": [round(t, 2) for t in ths],
+                },
+                "stages": stages,
+                "device": meas["device"],
+                "baseline": {
+                    "value": BASELINE_AUDIO_S_PER_S,
+                    "provenance": BASELINE_PROVENANCE,
+                },
             }
         )
     )

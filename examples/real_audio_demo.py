@@ -138,6 +138,7 @@ def main(workdir=None) -> float:
         return augment(reps, rng)
 
     total = {"err": 0, "n": 0}
+    per_utt = []
     for u in range(4):
         truth = list(rng.choice(names, size=int(rng.integers(2, 5))))
         parts = [gap_audio()]
@@ -152,12 +153,23 @@ def main(workdir=None) -> float:
         d = wer_details(truth, hyp)
         total["err"] += d["sub"] + d["ins"] + d["del"]
         total["n"] += d["n_ref"]
+        per_utt.append({"ref": " ".join(truth), "hyp": " ".join(hyp),
+                        "wer": round(d["wer"], 4)})
         print(f"utt{u}: ref={' '.join(truth)!r} hyp={' '.join(hyp)!r} "
               f"wer={d['wer']:.2f}")
 
     overall = total["err"] / total["n"]
     print(f"\nWER report (real audio, {total['n']} ref words): "
           f"{overall:.3f}")
+    main.last_report = {  # machine-readable record for bench_wer.py
+        "wer": round(overall, 4),
+        "n_ref_words": total["n"],
+        "per_utt": per_utt,
+        "vocab_words": len(words),
+        "fixtures": FIXTURES,
+        "config": {"seed": 0, "states": 8, "mix": 2, "iters": 8,
+                   "lm_order": 2, "lm_scale": 0.5, "word_penalty": -8.0},
+    }
 
     # -- N-best + trigram lattice rescoring on the last utterance -----------
     lm3 = os.path.join(tmp, "words3.lm")
