@@ -135,8 +135,17 @@ def _cmd_train_am(args) -> int:
         print(f"no examples in {args.manifest}", file=sys.stderr)
         return 1
 
+    train_cfg = None
+    if args.checkpoint_every > 0:
+        from lnasr_tpu.config import TrainConfig
+
+        ckpt_dir = args.checkpoint_dir or f"{args.output}/checkpoints"
+        train_cfg = TrainConfig(max_iters=args.iters,
+                                checkpoint_every=args.checkpoint_every,
+                                checkpoint_dir=ckpt_dir)
     am.units = train_unit_models(examples, am_cfg, iters=args.iters,
-                                 dtype=dtype, verbose=True)
+                                 dtype=dtype, verbose=True,
+                                 train_config=train_cfg)
     am.save(args.output)
     with open(f"{args.output}/am_config.json", "w", encoding="utf-8") as fp:
         json.dump({
@@ -189,10 +198,25 @@ def _cmd_recognize(args) -> int:
 
         vad = AmrWbVad()
     graph = args.graph
-    if (args.nbest > 1 or args.rescore_lm or args.confidence) and graph in (
-        "auto", "dense"
-    ):
-        graph = "factored"  # lattices live on the factored search
+    if args.nbest > 1 or args.rescore_lm or args.confidence:
+        # lattices (N-best / rescoring / confidence) live on the factored
+        # search; reject or redirect the other graphs explicitly
+        if graph == "trigram":
+            print(
+                "error: --nbest/--rescore-lm/--confidence need the word "
+                "lattice, which only the factored search produces; drop "
+                "--graph trigram (use --rescore-lm with a trigram LM for "
+                "the same objective at scale)",
+                file=sys.stderr,
+            )
+            return 2
+        if graph == "dense":
+            print(
+                "note: --graph dense has no lattice path; using "
+                "--graph factored (identical words and scores)",
+                file=sys.stderr,
+            )
+        graph = "factored"
     rec = Recognizer(
         am, lexicon, lm, vad=vad, graph=graph,
         decoder_config=DecoderConfig(
@@ -280,6 +304,13 @@ def main(argv=None) -> int:
                    help="per-utterance cepstral mean subtraction (off by "
                         "default: connected decoding must match isolated "
                         "training features)")
+    p.add_argument("--checkpoint-every", type=int, default=0,
+                   help="save training state every K EM iterations; a "
+                        "re-run of the same command resumes from the last "
+                        "checkpoint (0 disables)")
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="training-state directory (default: "
+                        "OUTPUT/checkpoints)")
     p.add_argument("--f64", action="store_true")
     p.add_argument("--tpu", action="store_true",
                    help="run on the accelerator (default: pin host CPU — "

@@ -272,28 +272,31 @@ class HMM:
         eps: float = 1e-4,
         verbose: bool = False,
         mask=None,
+        config=None,
     ):
         """Baum-Welch EM until |Δ loglik| < eps or ``iters`` sweeps.
 
         ``obs`` may be a single sequence ``(T,)`` or a padded batch
-        ``(B, T)`` with a matching boolean ``mask``.
+        ``(B, T)`` with a matching boolean ``mask``. An optional
+        :class:`~lnasr_tpu.config.TrainConfig` supplies the budget
+        (``max_iters``/``eps``) and enables periodic checkpointing with
+        deterministic resume (``checkpoint_every``/``checkpoint_dir``) —
+        the training-state persistence the reference lacks (its HDF5
+        save is parameters only, ``hmm.py:252-266``).
         """
-        obs, mask = self._ensure_batch(obs, mask)
+        from lnasr_tpu.utils.checkpoints import checkpointer_from_config, em_loop
 
-        params = self.params
-        prev_loglik = None
-        history = []
-        for it in range(iters):
-            new_params, loglik = self._em(params, obs, mask)
-            loglik = float(loglik)
-            history.append(loglik)
-            if verbose:
-                print(f"Iter: {it:3}, L(lambda|O) = {loglik:.6e}")
-            if prev_loglik is not None and abs(loglik - prev_loglik) < eps:
-                params = new_params
-                break
-            prev_loglik = loglik
-            params = new_params
+        if config is not None:
+            iters, eps = config.max_iters, config.eps
+        obs, mask = self._ensure_batch(obs, mask)
+        params, history = em_loop(
+            lambda p: self._em(p, obs, mask),
+            self.params,
+            iters,
+            eps,
+            verbose=verbose,
+            checkpointer=checkpointer_from_config(config),
+        )
         self._set_params(params)
         return history
 

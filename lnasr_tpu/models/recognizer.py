@@ -170,6 +170,18 @@ class Recognizer:
         self.lm = lm
         self.vad = vad
         self.decoder_config = decoder_config
+        # the MFCC config owns the sample rate; every time/seconds figure
+        # in this layer derives from it (round-2 verdict: 16 kHz was
+        # hardcoded here while the frontend and the native VADs were
+        # configurable — the pieces disagreed about whose rate wins)
+        self.sample_rate = am.mfcc.config.sample_rate
+        vad_rate = getattr(vad, "sample_rate", None)
+        if vad_rate is not None and vad_rate != self.sample_rate:
+            raise ValueError(
+                f"VAD sample rate {vad_rate} != acoustic model rate "
+                f"{self.sample_rate}; construct the detector with "
+                f"sample_rate={self.sample_rate}"
+            )
         self.bucket_frames = int(bucket_frames)
         if self.bucket_frames and am.mfcc.config.mean_norm:
             raise ValueError(
@@ -217,10 +229,11 @@ class Recognizer:
         else:
             segments = [(0, len(audio))]
         results = []
+        sr = float(self.sample_rate)
         for a, b in segments:
             words, score = self.decode_segment(audio[a:b])
             results.append(
-                SegmentResult(start_s=a / 16000.0, end_s=b / 16000.0,
+                SegmentResult(start_s=a / sr, end_s=b / sr,
                               words=words, score=score)
             )
         return results
@@ -356,7 +369,15 @@ class StreamingRecognizer:
         from lnasr_tpu.vad.native import WebRtcVad
 
         self.rec = recognizer
-        self.vad = vad if vad is not None else WebRtcVad(mode=0)
+        self.sample_rate = recognizer.sample_rate
+        self.vad = (vad if vad is not None
+                    else WebRtcVad(mode=0, sample_rate=self.sample_rate))
+        vad_rate = getattr(self.vad, "sample_rate", None)
+        if vad_rate is not None and vad_rate != self.sample_rate:
+            raise ValueError(
+                f"VAD sample rate {vad_rate} != recognizer rate "
+                f"{self.sample_rate}"
+            )
         self.frame_len = getattr(self.vad, "FRAME_LEN", 160)
         self.min_gap = min_gap_frames
         self.min_len = min_len_frames
@@ -387,8 +408,9 @@ class StreamingRecognizer:
         self.stats.segments += 1
         self.stats.decode_seconds += dt
         self.stats.last_latency_s = dt
-        return SegmentResult(start_s=a_f * self.frame_len / 16000.0,
-                             end_s=(self._base_f * self.frame_len + b) / 16000.0,
+        sr = float(self.sample_rate)
+        return SegmentResult(start_s=a_f * self.frame_len / sr,
+                             end_s=(self._base_f * self.frame_len + b) / sr,
                              words=words, score=score)
 
     def _trim(self) -> None:
@@ -408,7 +430,7 @@ class StreamingRecognizer:
         """Feed samples; returns segments finalized by this chunk."""
         chunk = np.asarray(chunk, np.int16)
         self._buffer = np.concatenate([self._buffer, chunk])
-        self.stats.audio_seconds += len(chunk) / 16000.0
+        self.stats.audio_seconds += len(chunk) / float(self.sample_rate)
         total_f = self._base_f + len(self._buffer) // self.frame_len
         results: List[SegmentResult] = []
         if self._next_f < total_f:
@@ -455,10 +477,18 @@ def train_unit_models(
     seed: int = 0,
     dtype=jnp.float32,
     verbose: bool = False,
+    train_config=None,
 ) -> Dict[str, GMMHMM]:
     """Isolated-unit training: for each unit, left-to-right init from its
     examples and batched Baum-Welch over all of them (padded to the longest
-    with masks — the data-parallel EM path)."""
+    with masks — the data-parallel EM path).
+
+    ``train_config`` (a :class:`~lnasr_tpu.config.TrainConfig`) enables
+    periodic checkpoint/resume: each unit checkpoints under
+    ``checkpoint_dir/<unit>/``, so a killed run restarts where it
+    stopped — finished units restore instantly (``done`` state) and the
+    interrupted one resumes mid-EM with identical final parameters.
+    """
     models: Dict[str, GMMHMM] = {}
     for i, (unit, obs_list) in enumerate(sorted(examples.items())):
         model = GMMHMM(config, dtype=dtype)
@@ -470,7 +500,13 @@ def train_unit_models(
         for j, o in enumerate(obs_list):
             batch[j, : o.shape[0]] = o
             mask[j, : o.shape[0]] = True
-        history = model.train(batch, iters=iters, mask=mask)
+        unit_cfg = train_config
+        if train_config is not None and train_config.checkpoint_dir:
+            unit_cfg = dataclasses.replace(
+                train_config,
+                checkpoint_dir=os.path.join(train_config.checkpoint_dir, unit),
+            )
+        history = model.train(batch, iters=iters, mask=mask, config=unit_cfg)
         if verbose:
             print(f"unit {unit!r}: loglik {history[0]:.1f} -> {history[-1]:.1f}")
         models[unit] = model

@@ -317,6 +317,7 @@ def train_seq_parallel(
     mask=None,
     eps: float = 1e-4,
     verbose: bool = False,
+    config=None,
 ):
     """EM over ONE long utterance, time-sharded across the ``seq`` axis.
 
@@ -324,9 +325,17 @@ def train_seq_parallel(
     (``obs (T, D)`` float features) or a discrete
     :class:`~lnasr_tpu.models.hmm.HMM` (``obs (T,)`` symbol ids). T need
     not divide the axis size (auto-padded with masked frames). Updates
-    ``model`` in place, returns loglik history.
+    ``model`` in place, returns loglik history. An optional
+    :class:`~lnasr_tpu.config.TrainConfig` supplies the budget and
+    periodic checkpoint/resume (multi-host runs restart from the last
+    checkpoint — every process keeps the replicated params, so each can
+    save/restore locally).
     """
     from lnasr_tpu.parallel.seqscan import _pad_time
+    from lnasr_tpu.utils.checkpoints import checkpointer_from_config, em_loop
+
+    if config is not None:
+        iters, eps = config.max_iters, config.eps
 
     # GMMHMM subclasses HMM, so identify the discrete model by its params
     discrete = hasattr(model.params, "log_b")
@@ -344,18 +353,15 @@ def train_seq_parallel(
 
     step = (make_seq_hmm_em_step(mesh) if discrete
             else make_seq_gmmhmm_em_step(mesh, model.config))
-    params = model.params
-    history = []
-    prev = None
-    for it in range(iters):
-        params, loglik = step(params, obs_p, mask_p)
-        loglik = float(loglik)
-        history.append(loglik)
-        if verbose:
-            print(f"Iter {it:3}: loglik {loglik:.6e}")
-        if prev is not None and abs(loglik - prev) < eps:
-            break
-        prev = loglik
+    params, history = em_loop(
+        lambda p: step(p, obs_p, mask_p),
+        model.params,
+        iters,
+        eps,
+        verbose=verbose,
+        checkpointer=checkpointer_from_config(config),
+        fmt="Iter {it:3}: loglik {loglik:.6e}",
+    )
     model._set_params(params)
     return history
 
@@ -368,6 +374,7 @@ def train_data_parallel(
     iters: int = 10,
     eps: float = 1e-4,
     verbose: bool = False,
+    config=None,
 ):
     """Host-side EM loop over a jitted data-parallel step. ``model`` is an
     :class:`lnasr_tpu.models.gmmhmm.GMMHMM` or :class:`...hmm.HMM`; its
@@ -375,7 +382,13 @@ def train_data_parallel(
 
     The batch is placed with a ``('data', None, ...)`` sharding so XLA
     splits it once; the batch size must divide by the data-axis size.
+    An optional :class:`~lnasr_tpu.config.TrainConfig` supplies the
+    budget and periodic checkpoint/resume.
     """
+    from lnasr_tpu.utils.checkpoints import checkpointer_from_config, em_loop
+
+    if config is not None:
+        iters, eps = config.max_iters, config.eps
     if isinstance(model, _g.GMMHMM):
         step = make_dp_gmmhmm_em_step(mesh, model.config)
         obs = jnp.asarray(obs, model.dtype)  # features are real-valued
@@ -387,17 +400,14 @@ def train_data_parallel(
     obs = jax.device_put(obs, NamedSharding(mesh, batch_spec))
     mask = jax.device_put(mask, NamedSharding(mesh, P("data", None)))
 
-    params = model.params
-    history = []
-    prev = None
-    for it in range(iters):
-        params, loglik = step(params, obs, mask)
-        loglik = float(loglik)
-        history.append(loglik)
-        if verbose:
-            print(f"Iter {it:3}: loglik {loglik:.6e}")
-        if prev is not None and abs(loglik - prev) < eps:
-            break
-        prev = loglik
+    params, history = em_loop(
+        lambda p: step(p, obs, mask),
+        model.params,
+        iters,
+        eps,
+        verbose=verbose,
+        checkpointer=checkpointer_from_config(config),
+        fmt="Iter {it:3}: loglik {loglik:.6e}",
+    )
     model._set_params(params)
     return history

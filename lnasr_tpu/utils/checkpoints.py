@@ -41,12 +41,19 @@ def _atomic_write(path: str, write_fn) -> None:
 
 
 class TrainState:
-    """Parameters + iteration + loglik history, as a flat array tree."""
+    """Parameters + iteration + loglik history, as a flat array tree.
 
-    def __init__(self, params, iteration: int = 0, history: Optional[List[float]] = None):
+    ``done`` marks a run that finished (converged or exhausted its
+    iteration budget): resuming a done checkpoint is a no-op, so an
+    interrupted-and-resumed run ends bitwise identical to an
+    uninterrupted one even when the EM loop stopped early."""
+
+    def __init__(self, params, iteration: int = 0,
+                 history: Optional[List[float]] = None, done: bool = False):
         self.params = params
         self.iteration = iteration
         self.history = list(history or [])
+        self.done = bool(done)
 
 
 def save_train_state(path: str, state: TrainState) -> None:
@@ -58,6 +65,7 @@ def save_train_state(path: str, state: TrainState) -> None:
         "history": state.history,
         "treedef": str(treedef),
         "n_leaves": len(leaves),
+        "done": state.done,
     }
 
     def write(tmp):
@@ -86,7 +94,8 @@ def load_train_state(path: str, like_params) -> TrainState:
             f"{len(template_leaves)}"
         )
     params = jax.tree.unflatten(treedef, leaves)
-    return TrainState(params, meta["iteration"], meta["history"])
+    return TrainState(params, meta["iteration"], meta["history"],
+                      meta.get("done", False))
 
 
 class Checkpointer:
@@ -118,8 +127,74 @@ class Checkpointer:
             return state.iteration, state.params, state.history
         return 0, like_params, []
 
-    def maybe_save(self, iteration: int, params, history: List[float]) -> bool:
-        if iteration % self.every == 0:
-            save_train_state(self.path, TrainState(params, iteration, history))
+    def restore_state(self, like_params) -> TrainState:
+        if os.path.exists(self.path):
+            return load_train_state(self.path, like_params)
+        return TrainState(like_params)
+
+    def maybe_save(self, iteration: int, params, history: List[float],
+                   done: bool = False) -> bool:
+        if done or iteration % self.every == 0:
+            save_train_state(
+                self.path, TrainState(params, iteration, history, done)
+            )
             return True
         return False
+
+
+def checkpointer_from_config(config) -> Optional["Checkpointer"]:
+    """A :class:`Checkpointer` when a :class:`~lnasr_tpu.config.TrainConfig`
+    enables one (``checkpoint_every > 0`` and ``checkpoint_dir`` set),
+    else ``None``."""
+    if config is None or not config.checkpoint_dir:
+        return None
+    if config.checkpoint_every <= 0:
+        return None
+    return Checkpointer(config.checkpoint_dir, every=config.checkpoint_every)
+
+
+def em_loop(
+    step_fn,
+    params,
+    iters: int,
+    eps: float,
+    verbose: bool = False,
+    checkpointer: Optional["Checkpointer"] = None,
+    fmt: str = "Iter: {it:3}, L(lambda|O) = {loglik:.6e}",
+):
+    """The shared EM driver behind every trainer (``HMM.train``,
+    ``train_data_parallel``, ``train_seq_parallel``): runs ``step_fn``
+    (params -> (params, loglik)) until |Δ loglik| < eps or ``iters``
+    sweeps, with the reference's convergence rule (``lnasr/hmm.py:
+    285-313``) and — when a checkpointer is given — periodic atomic
+    saves plus deterministic resume. An interrupted run resumed from its
+    checkpoint ends with bitwise-identical parameters to an
+    uninterrupted one: the step is deterministic, the ``.npz``
+    round-trip preserves bits, and a finished run is marked ``done`` so
+    re-running it is a no-op.
+
+    Returns ``(params, history)``.
+    """
+    start, history = 0, []
+    if checkpointer is not None:
+        state = checkpointer.restore_state(params)
+        if state.done:
+            return state.params, state.history
+        start, params, history = state.iteration, state.params, state.history
+    prev = history[-1] if history else None
+    it = start
+    for it in range(start, iters):
+        params, loglik = step_fn(params)
+        loglik = float(loglik)
+        history.append(loglik)
+        if verbose:
+            print(fmt.format(it=it, loglik=loglik))
+        converged = prev is not None and abs(loglik - prev) < eps
+        if checkpointer is not None:
+            # ``done`` marks convergence only: a budget-exhausted run can
+            # be resumed with a larger ``iters`` and simply continues
+            checkpointer.maybe_save(it + 1, params, history, done=converged)
+        if converged:
+            break
+        prev = loglik
+    return params, history
