@@ -29,7 +29,6 @@ language-model weighting (``doc/source/basic.rst:14-21``) — but its
 from __future__ import annotations
 
 import dataclasses
-import heapq
 import math
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -39,6 +38,16 @@ from lnasr_tpu.models.ngram import BOS, EOS, NGramModel
 
 _LN10 = math.log(10.0)
 SILENCE = "<sil>"
+
+
+def _lse_cols(x: np.ndarray) -> np.ndarray:
+    """log-sum-exp over axis 0 of a 2-D array; all-(-inf) columns give
+    -inf without warnings (the empty-predecessor case)."""
+    m = np.max(x, axis=0)
+    safe = np.where(np.isfinite(m), m, 0.0)
+    with np.errstate(divide="ignore"):
+        out = safe + np.log(np.sum(np.exp(x - safe[None, :]), axis=0))
+    return np.where(np.isfinite(m), out, m)
 
 
 def lm_conditional(lm: NGramModel, word: str, context: Tuple[str, ...]) -> float:
@@ -102,6 +111,17 @@ class WordLattice:
         for i, tok in enumerate(tokens):
             self._by_start.setdefault(tok.start, []).append(i)
             self._by_end.setdefault(tok.end, []).append(i)
+        # flat token columns: the batched (per-frame NumPy) N-best /
+        # posterior paths index these instead of Python token objects
+        self._tok_word = np.fromiter((t.word_id for t in tokens), np.int64,
+                                     len(tokens))
+        self._tok_start = np.fromiter((t.start for t in tokens), np.int64,
+                                      len(tokens))
+        self._tok_end = np.fromiter((t.end for t in tokens), np.int64,
+                                    len(tokens))
+        self._tok_ac = np.fromiter((t.ac for t in tokens), np.float64,
+                                   len(tokens))
+        self._word_index: Optional[Dict[int, np.ndarray]] = None
 
     # -- construction --------------------------------------------------------
 
@@ -155,10 +175,27 @@ class WordLattice:
 
     # -- persistence ---------------------------------------------------------
 
+    @staticmethod
+    def _encode_scores(x: np.ndarray):
+        """Finite floats with ``-inf`` (unreachable arcs) as ``null`` —
+        strict-JSON-safe, unlike the ``-Infinity`` literal ``json.dump``
+        would otherwise emit (most non-Python parsers reject it)."""
+        obj = np.asarray(x, dtype=object)
+        obj[~np.isfinite(np.asarray(x, np.float64))] = None
+        return obj.tolist()
+
+    @staticmethod
+    def _decode_scores(x) -> np.ndarray:
+        arr = np.asarray(x, dtype=object)
+        none = np.frompyfunc(lambda v: v is None, 1, 1)(arr).astype(bool)
+        arr[none] = -np.inf
+        return arr.astype(np.float64)
+
     def save(self, filename: str) -> None:
-        """Write the lattice as JSON (words, tokens, word-level scores) so
-        decoding and rescoring can run in separate processes — decode once
-        on device, rescore later with any LM on host."""
+        """Write the lattice as strict JSON (words, tokens, word-level
+        scores) so decoding and rescoring can run in separate processes —
+        decode once on device, rescore later with any LM on host.
+        Unreachable (-inf) score entries serialize as ``null``."""
         import json
 
         payload = {
@@ -168,71 +205,112 @@ class WordLattice:
             "tokens": [
                 [t.word_id, t.start, t.end, t.ac] for t in self.tokens
             ],
-            "log_pi_w": self.log_pi_w.tolist(),
-            "log_final_w": self.log_final_w.tolist(),
-            "hop": self.hop.tolist(),
+            "log_pi_w": self._encode_scores(self.log_pi_w),
+            "log_final_w": self._encode_scores(self.log_final_w),
+            "hop": self._encode_scores(self.hop),
         }
         with open(filename, "w", encoding="utf-8") as fp:
-            json.dump(payload, fp)
+            json.dump(payload, fp, allow_nan=False)
 
     @classmethod
     def load(cls, filename: str) -> "WordLattice":
         import json
 
+        def _parse_const(name):  # accept legacy files with -Infinity
+            return {"-Infinity": -math.inf, "Infinity": math.inf,
+                    "NaN": math.nan}[name]
+
         with open(filename, encoding="utf-8") as fp:
-            payload = json.load(fp)
+            payload = json.load(fp, parse_constant=_parse_const)
         if payload.get("format") != "lnasr_tpu-word-lattice-v1":
             raise ValueError(f"{filename}: not a lnasr_tpu word lattice")
         return cls(
             payload["words"],
             [WordToken(w, s, e, a) for w, s, e, a in payload["tokens"]],
-            np.asarray(payload["hop"]),
-            np.asarray(payload["log_pi_w"]),
-            np.asarray(payload["log_final_w"]),
+            cls._decode_scores(payload["hop"]),
+            cls._decode_scores(payload["log_pi_w"]),
+            cls._decode_scores(payload["log_final_w"]),
             int(payload["n_frames"]),
         )
 
     # -- N-best --------------------------------------------------------------
 
     def nbest(self, n: int, unique: bool = True) -> List[Hypothesis]:
-        """k-best Viterbi over the token DAG.
+        """k-best Viterbi over the token DAG, batched per frame.
 
         Tokens are processed in start-frame order; each keeps its ``n``
-        best (score, predecessor) entries, combined from every token
-        ending on the previous frame via the bigram ``hop``. With
-        ``unique`` (default), hypotheses that render to the same word
-        sequence are merged keeping the best-scoring one.
+        best (score, predecessor, predecessor-rank) entries. One frame is
+        ONE NumPy block op — every (current token c, predecessor token p,
+        rank r) candidate scores in a (|C|, |P|·n) matrix
+        ``entry[p, r] + hop[word_p, word_c] + ac_c`` topped-k by a stable
+        argsort — instead of the per-token per-entry Python loops this
+        replaces: those were O(tokens x predecessors x n) interpreter
+        steps per frame, the serving bottleneck at real vocabularies
+        (thousands of tokens x thousands of frames). With ``unique``
+        (default), hypotheses rendering to the same word sequence are
+        merged keeping the best-scoring one.
         """
-        # entries[i] = list of (score, prev_token_index, prev_entry_rank)
-        entries: List[List[Tuple[float, int, int]]] = [
-            [] for _ in self.tokens
-        ]
-        for t in range(self.n_frames):
-            for i in self._by_start.get(t, ()):
-                tok = self.tokens[i]
-                cand: List[Tuple[float, int, int]] = []
-                if t == 0:
-                    base = self.log_pi_w[tok.word_id]
-                    if math.isfinite(base):
-                        cand.append((float(base) + tok.ac, -1, -1))
-                for j in self._by_end.get(t - 1, ()):
-                    prev = self.tokens[j]
-                    arc = self.hop[prev.word_id, tok.word_id]
-                    if not math.isfinite(arc):
-                        continue
-                    for r, (s, _, _) in enumerate(entries[j]):
-                        cand.append((s + float(arc) + tok.ac, j, r))
-                entries[i] = heapq.nlargest(n, cand, key=lambda c: c[0])
+        n_tok = len(self.tokens)
+        # entry tables: score, predecessor token (-1 = sentence begin,
+        # unused rows stay at -inf), predecessor entry rank
+        ent_score = np.full((n_tok, n), -np.inf)
+        ent_prev = np.full((n_tok, n), -1, np.int64)
+        ent_rank = np.full((n_tok, n), -1, np.int64)
 
-        finals: List[Tuple[float, int, int]] = []
-        for i in self._by_end.get(self.n_frames - 1, ()):
-            tok = self.tokens[i]
-            fin = self.log_final_w[tok.word_id]
-            if not math.isfinite(fin):
+        for t in range(self.n_frames):
+            curr = self._by_start.get(t)
+            if not curr:
                 continue
-            for r, (s, _, _) in enumerate(entries[i]):
-                finals.append((s + float(fin), i, r))
-        finals.sort(key=lambda c: -c[0])
+            c_idx = np.asarray(curr, np.int64)
+            w_c = self._tok_word[c_idx]
+            ac_c = self._tok_ac[c_idx]
+            blocks: List[np.ndarray] = []
+            prevs: List[np.ndarray] = []
+            ranks: List[np.ndarray] = []
+            if t == 0:
+                blocks.append(self.log_pi_w[w_c][:, None] + ac_c[:, None])
+                prevs.append(np.full(1, -1, np.int64))
+                ranks.append(np.full(1, -1, np.int64))
+            pred = self._by_end.get(t - 1)
+            if pred:
+                p_idx = np.asarray(pred, np.int64)
+                arc = self.hop[np.ix_(self._tok_word[p_idx], w_c)]  # (P, C)
+                # (C, P, n): entry scores broadcast over candidates
+                cand = (
+                    arc.T[:, :, None]
+                    + ent_score[p_idx][None, :, :]
+                    + ac_c[:, None, None]
+                )
+                blocks.append(cand.reshape(len(c_idx), -1))
+                prevs.append(np.repeat(p_idx, n))
+                ranks.append(np.tile(np.arange(n, dtype=np.int64), len(p_idx)))
+            if not blocks:
+                continue
+            cand_all = np.concatenate(blocks, axis=1)
+            prev_all = np.concatenate(prevs)
+            rank_all = np.concatenate(ranks)
+            k = min(n, cand_all.shape[1])
+            # stable sort on construction order reproduces the tie-breaks
+            # of the sequential formulation (first-seen candidate wins)
+            order = np.argsort(-cand_all, axis=1, kind="stable")[:, :k]
+            ent_score[c_idx, :k] = np.take_along_axis(cand_all, order, axis=1)
+            ent_prev[c_idx, :k] = prev_all[order]
+            ent_rank[c_idx, :k] = rank_all[order]
+
+        last = self._by_end.get(self.n_frames - 1)
+        finals: List[Tuple[float, int, int]] = []
+        if last:
+            l_idx = np.asarray(last, np.int64)
+            fin = self.log_final_w[self._tok_word[l_idx]]
+            scores = ent_score[l_idx] + fin[:, None]  # (L, n)
+            flat = scores.ravel()
+            order = np.argsort(-flat, kind="stable")
+            tok_of = np.repeat(l_idx, n)
+            rank_of = np.tile(np.arange(n, dtype=np.int64), len(l_idx))
+            for o in order:
+                if not np.isfinite(flat[o]):
+                    break
+                finals.append((float(flat[o]), int(tok_of[o]), int(rank_of[o])))
 
         hyps: List[Hypothesis] = []
         seen: Dict[Tuple[str, ...], int] = {}
@@ -240,7 +318,7 @@ class WordLattice:
             toks: List[WordToken] = []
             while i >= 0:
                 toks.append(self.tokens[i])
-                _, i, r = entries[i][r]
+                i, r = int(ent_prev[i, r]), int(ent_rank[i, r])
             toks.reverse()
             surface = tuple(
                 self.words[t.word_id]
@@ -276,34 +354,57 @@ class WordLattice:
         fwd = np.full(n, -np.inf)
         bwd = np.full(n, -np.inf)
         for t in range(self.n_frames):
-            for i in self._by_start.get(t, ()):
-                tok = self.tokens[i]
-                acc = -np.inf
-                if t == 0:
-                    acc = self.log_pi_w[tok.word_id] + tok.ac
-                for j in self._by_end.get(t - 1, ()):
-                    arc = self.hop[self.tokens[j].word_id, tok.word_id]
-                    acc = np.logaddexp(acc, fwd[j] + arc + tok.ac)
-                fwd[i] = acc
+            curr = self._by_start.get(t)
+            if not curr:
+                continue
+            c_idx = np.asarray(curr, np.int64)
+            w_c = self._tok_word[c_idx]
+            acc = np.full(len(c_idx), -np.inf)
+            if t == 0:
+                acc = self.log_pi_w[w_c].astype(np.float64)
+            pred = self._by_end.get(t - 1)
+            if pred:
+                p_idx = np.asarray(pred, np.int64)
+                arc = self.hop[np.ix_(self._tok_word[p_idx], w_c)]  # (P, C)
+                acc = np.logaddexp(acc, _lse_cols(fwd[p_idx][:, None] + arc))
+            fwd[c_idx] = acc + self._tok_ac[c_idx]
         for t in range(self.n_frames - 1, -1, -1):
-            for i in self._by_end.get(t, ()):
-                tok = self.tokens[i]
-                acc = -np.inf
-                if t == self.n_frames - 1:
-                    acc = self.log_final_w[tok.word_id]
-                for j in self._by_start.get(t + 1, ()):
-                    succ = self.tokens[j]
-                    arc = self.hop[tok.word_id, succ.word_id]
-                    acc = np.logaddexp(acc, arc + succ.ac + bwd[j])
-                bwd[i] = acc
-        total = -np.inf
-        for i in self._by_end.get(self.n_frames - 1, ()):
-            total = np.logaddexp(total, fwd[i] + self.log_final_w[
-                self.tokens[i].word_id])
+            curr = self._by_end.get(t)
+            if not curr:
+                continue
+            c_idx = np.asarray(curr, np.int64)
+            w_c = self._tok_word[c_idx]
+            acc = np.full(len(c_idx), -np.inf)
+            if t == self.n_frames - 1:
+                acc = self.log_final_w[w_c].astype(np.float64)
+            succ = self._by_start.get(t + 1)
+            if succ:
+                s_idx = np.asarray(succ, np.int64)
+                arc = self.hop[np.ix_(w_c, self._tok_word[s_idx])]  # (C, S)
+                tail = (self._tok_ac[s_idx] + bwd[s_idx])[None, :]
+                acc = np.logaddexp(acc, _lse_cols((arc + tail).T))
+            bwd[c_idx] = acc
+        last = self._by_end.get(self.n_frames - 1, [])
+        if last:
+            l_idx = np.asarray(last, np.int64)
+            total = _lse_cols(
+                (fwd[l_idx] + self.log_final_w[self._tok_word[l_idx]])[:, None]
+            )[0]
+        else:
+            total = -np.inf
         with np.errstate(invalid="ignore"):
             post = np.exp(fwd + bwd - total)
         # float32 search scores can round a certain token to 1 + O(1e-4)
         return np.clip(np.nan_to_num(post, nan=0.0), 0.0, 1.0)
+
+    def _tokens_of_word(self, word_id: int) -> np.ndarray:
+        """Token indices carrying ``word_id`` (built once, cached)."""
+        if self._word_index is None:
+            order = np.argsort(self._tok_word, kind="stable")
+            uniq, starts = np.unique(self._tok_word[order], return_index=True)
+            splits = np.split(order, starts[1:])
+            self._word_index = dict(zip(uniq.tolist(), splits))
+        return self._word_index.get(word_id, np.empty(0, np.int64))
 
     def confidences(self, hypothesis: "Hypothesis",
                     post: Optional[np.ndarray] = None) -> List[float]:
@@ -311,22 +412,23 @@ class WordLattice:
         of all lattice tokens carrying the same word whose span overlaps
         the hypothesis token's span (word-posterior confidence, clipped to
         1). Silence tokens are skipped, matching ``Hypothesis.words``.
-        Pass precomputed :meth:`posteriors` to score many hypotheses."""
+        Pass precomputed :meth:`posteriors` to score many hypotheses.
+
+        Same-word tokens come from a cached word-id index and overlap is
+        one vectorized span test, so scoring many hypotheses against a
+        wide-beam lattice stays linear in the hypothesis length."""
         if post is None:
             post = self.posteriors()
         out: List[float] = []
         for tok in hypothesis.tokens:
             if self.words[tok.word_id] == SILENCE:
                 continue
-            mass = 0.0
-            for i, other in enumerate(self.tokens):
-                if (
-                    other.word_id == tok.word_id
-                    and other.start <= tok.end
-                    and other.end >= tok.start
-                ):
-                    mass += float(post[i])
-            out.append(min(1.0, mass))
+            idx = self._tokens_of_word(tok.word_id)
+            sel = idx[
+                (self._tok_start[idx] <= tok.end)
+                & (self._tok_end[idx] >= tok.start)
+            ]
+            out.append(min(1.0, float(post[sel].sum())))
         return out
 
     # -- rescoring -----------------------------------------------------------
@@ -339,6 +441,7 @@ class WordLattice:
         word_insertion_penalty: float = 0.0,
         exit_logp: float = math.log(0.5),
         use_eos: Optional[bool] = None,
+        silence_context: str = "keep1",
     ) -> float:
         """Total path score of a token sequence under ``lm`` with the
         decoder's composition rules, at the LM's full order:
@@ -346,15 +449,33 @@ class WordLattice:
         - first word scores ``P(w | <s>)``; a leading silence is free;
         - each later real word costs ``exit_logp + penalty +
           lm_scale * log P(w | history)`` with all available history;
-        - entering silence costs ``exit_logp`` only, and crossing it
-          truncates history to the one pre-silence word (the same rule the
-          history-expanded graph uses);
+        - entering silence costs ``exit_logp`` only; what survives the
+          gap is set by ``silence_context``:
+
+          * ``"keep1"`` (default): one pre-silence word of history — the
+            history-expanded :class:`TrigramDecodingGraph` rule, the
+            richer rescoring objective;
+          * ``"reset"``: NO history (next word scores as a unigram) —
+            exactly the factored *search's* hop-out-of-silence rule
+            (``decoder.py`` ``_word_lm_scores``), so rescoring with the
+            search's own bigram LM reproduces the lattice arc scores on
+            silence-crossing paths too;
+
         - sentence end adds ``P(</s> | history)`` when the LM has one.
 
-        With a bigram LM this reproduces the lattice's own arc scores
-        (parity-tested); with a trigram+ LM it is the rescoring objective.
-        ``use_eos`` defaults to whether the LM models sentence end.
+        With a bigram LM and ``silence_context="reset"`` this reproduces
+        the lattice's own arc scores on EVERY path (parity-tested,
+        including silence crossings); with the default ``"keep1"`` the
+        bigram self-consistency holds on silence-free paths only — an
+        intentional objective difference, not an accident. With a
+        trigram+ LM it is the rescoring objective. ``use_eos`` defaults
+        to whether the LM models sentence end.
         """
+        if silence_context not in ("keep1", "reset"):
+            raise ValueError(
+                f'silence_context must be "keep1" or "reset", '
+                f"got {silence_context!r}"
+            )
         if use_eos is None and lm is not None:
             from lnasr_tpu.models.decoder import _has_eos
 
@@ -368,8 +489,11 @@ class WordLattice:
             if w == SILENCE:
                 if not first:
                     total += exit_logp
-                # one word of history survives the gap
-                hist = hist[-1:] if hist and hist[-1] != BOS else (BOS,)
+                if silence_context == "reset":
+                    hist = ()  # unigram after the gap, as the search
+                else:
+                    # one word of history survives the gap
+                    hist = hist[-1:] if hist and hist[-1] != BOS else (BOS,)
                 first = False
                 continue
             if first:
@@ -396,12 +520,14 @@ class WordLattice:
         word_insertion_penalty: float = 0.0,
         exit_logp: float = math.log(0.5),
         use_eos: Optional[bool] = None,
+        silence_context: str = "keep1",
     ) -> List[Hypothesis]:
         """Re-rank the lattice's N-best under a (higher-order) LM.
 
         Extracts ``pool`` hypotheses (default ``4 * n``) with the lattice's
         bigram scores, rescores each with :meth:`lm_path_score`, and
-        returns the top ``n`` by the new score.
+        returns the top ``n`` by the new score. ``silence_context`` picks
+        the history rule across silence gaps (see :meth:`lm_path_score`).
         """
         hyps = self.nbest(pool or 4 * n, unique=True)
         rescored = [
@@ -410,7 +536,7 @@ class WordLattice:
                 h.tokens,
                 self.lm_path_score(
                     h.tokens, lm, lm_scale, word_insertion_penalty,
-                    exit_logp, use_eos,
+                    exit_logp, use_eos, silence_context,
                 ),
             )
             for h in hyps
