@@ -67,9 +67,17 @@ def _emissions(params: GMMHMMParams, obs: jax.Array, cov_type: str):
 
 
 def _sequence_stats(
-    params: GMMHMMParams, obs: jax.Array, mask: jax.Array, cov_type: str
+    params: GMMHMMParams, obs: jax.Array, mask: jax.Array, cov_type: str,
+    emissions_fn=None,
 ) -> GMMEMStats:
-    log_b, log_bm = _emissions(params, obs, cov_type)
+    """E-step statistics for one (padded) sequence.
+
+    ``emissions_fn`` overrides the emission scorer — the model-parallel
+    step (:mod:`lnasr_tpu.parallel.model_parallel`) injects one whose
+    ``log_b`` is a distributed logsumexp over mixture shards while
+    ``log_bm`` stays shard-local, so every mixture statistic below is
+    computed only for the shard's own components."""
+    log_b, log_bm = (emissions_fn or _emissions)(params, obs, cov_type)
     alpha, loglik = forward_scan(params.log_pi, params.log_a, log_b, mask)
     beta = backward_scan(params.log_a, log_b, mask)
     xi, gamma = posteriors(alpha, beta, params.log_a, log_b, mask)
@@ -127,9 +135,15 @@ def _maximize(
     min_std: float,
     var_floor: float,
     occ_floor: float = 1e-3,
+    lse_m=None,
 ) -> GMMHMMParams:
+    """M-step. ``lse_m`` computes the per-state logsumexp over the FULL
+    mixture axis of an ``(N, M)`` table (keepdims); the model-parallel
+    step injects a distributed version since its M axis is sharded."""
+    if lse_m is None:
+        lse_m = lambda x: logsumexp(x, axis=1, keepdims=True)  # noqa: E731
     log_a = stats.log_xi_sum - stats.log_gamma_sum[:, None]
-    log_w = stats.log_w_num - logsumexp(stats.log_w_num, axis=1, keepdims=True)
+    log_w = stats.log_w_num - lse_m(stats.log_w_num)
     # Starvation guard: a component with (near) zero occupancy would produce
     # 0/0 means and -inf weights (and did, on real MFCC features in float32);
     # freeze such components at their previous parameters instead. The
@@ -146,7 +160,7 @@ def _maximize(
         cov = stats.second / denom[..., None] + min_std * jnp.eye(d, dtype=mu.dtype)
         cov = jnp.where(starved[..., None, None], old.cov, cov)
     log_w = jnp.where(starved, jnp.log(tiny), log_w)
-    log_w = log_w - logsumexp(log_w, axis=1, keepdims=True)
+    log_w = log_w - lse_m(log_w)
     return GMMHMMParams(
         log_a=log_a, log_pi=stats.log_pi_num, log_w=log_w, mu=mu, cov=cov
     )

@@ -35,7 +35,12 @@ from lnasr_tpu.parallel.seqscan import (
     forward_seq_parallel,
     viterbi_seq_parallel,
 )
-from lnasr_tpu.parallel.model_parallel import make_mp_emission_fn
+from lnasr_tpu.parallel.model_parallel import (
+    make_mp_emission_fn,
+    make_mp_gmmhmm_em_step,
+    mp_param_specs,
+    train_model_parallel,
+)
 from lnasr_tpu.parallel.pipeline import (
     make_stage_mesh,
     streaming_pipeline_decode,
@@ -58,4 +63,7 @@ __all__ = [
     "train_seq_parallel",
     "viterbi_seq_parallel",
     "make_mp_emission_fn",
+    "make_mp_gmmhmm_em_step",
+    "mp_param_specs",
+    "train_model_parallel",
 ]

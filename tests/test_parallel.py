@@ -421,3 +421,88 @@ def test_mesh_degrades_to_single_device():
     model = GMMHMM(cfg, dtype=jnp.float64).reset("random", jax.random.PRNGKey(8))
     hist = train_data_parallel(model, obs, mask, mesh, iters=2)
     assert np.all(np.isfinite(hist))
+
+
+# -- model-parallel TRAINING (round-3: the TP EM step) ------------------------
+
+
+@requires_multidevice
+@pytest.mark.parametrize("mesh_axes", [(1, 4), (2, 4)])
+def test_mp_gmmhmm_em_matches_single_chip(mesh_axes):
+    """Mixture-sharded Baum-Welch: mean/cov/weight updates computed per
+    shard for its own components (no M gather) must match the single-chip
+    step to float-reassociation tolerance, for one step and for three."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from lnasr_tpu.parallel import make_mp_gmmhmm_em_step, mp_param_specs
+
+    d_ax, m_ax = mesh_axes
+    rng = np.random.default_rng(5)
+    cfg = GMMHMMConfig(n_states=3, n_mix=4, dim=5)
+    obs = rng.normal(size=(4, 18, 5))
+    mask = np.ones((4, 18), bool)
+    mask[2, 14:] = False
+
+    single = GMMHMM(cfg, dtype=jnp.float64).reset("random", jax.random.PRNGKey(2))
+    p_ref = single.params
+    devices = np.array(jax.devices()[: d_ax * m_ax]).reshape(d_ax, m_ax)
+    mesh = Mesh(devices, ("data", "model"))
+    step = make_mp_gmmhmm_em_step(mesh, cfg)
+    pspecs = mp_param_specs(cfg.cov_type)
+    p_mp = type(p_ref)(*(
+        jax.device_put(x, NamedSharding(mesh, s))
+        for x, s in zip(p_ref, pspecs)
+    ))
+    obs_j = jax.device_put(jnp.asarray(obs), NamedSharding(mesh, P("data")))
+    mask_j = jax.device_put(jnp.asarray(mask), NamedSharding(mesh, P("data")))
+
+    for it in range(3):
+        p_ref, ll_ref = gmmhmm_em_step(p_ref, jnp.asarray(obs),
+                                       jnp.asarray(mask), cov_type="diag")
+        p_mp, ll_mp = step(p_mp, obs_j, mask_j)
+        np.testing.assert_allclose(float(ll_mp), float(ll_ref), rtol=1e-12)
+        for name in p_ref._fields:
+            np.testing.assert_allclose(
+                np.asarray(getattr(p_mp, name)),
+                np.asarray(getattr(p_ref, name)),
+                rtol=1e-9, atol=1e-11, err_msg=f"{name} @ iter {it}",
+            )
+
+
+@requires_multidevice
+def test_train_model_parallel_loop_and_resume(tmp_path):
+    """The MP trainer drives the same step through the shared EM loop
+    (loglik improves) and honors checkpoint/resume."""
+    from jax.sharding import Mesh
+    from lnasr_tpu.config import TrainConfig
+    from lnasr_tpu.parallel import train_model_parallel
+
+    rng = np.random.default_rng(6)
+    cfg = GMMHMMConfig(n_states=2, n_mix=4, dim=3)
+    obs = rng.normal(size=(4, 12, 3))
+    mask = np.ones((4, 12), bool)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("data", "model"))
+
+    def fresh():
+        m = GMMHMM(cfg, dtype=jnp.float64)
+        m.init_from_data(obs.reshape(-1, 3), jax.random.PRNGKey(3))
+        return m
+
+    ref = fresh()
+    hist = train_model_parallel(ref, obs, mask, mesh,
+                                config=TrainConfig(max_iters=4, eps=0.0))
+    assert len(hist) == 4 and hist[-1] >= hist[0]
+
+    ck = str(tmp_path / "mp")
+    killed = fresh()
+    train_model_parallel(killed, obs, mask, mesh,
+                         config=TrainConfig(max_iters=2, eps=0.0,
+                                            checkpoint_every=1,
+                                            checkpoint_dir=ck))
+    resumed = fresh()
+    train_model_parallel(resumed, obs, mask, mesh,
+                         config=TrainConfig(max_iters=4, eps=0.0,
+                                            checkpoint_every=1,
+                                            checkpoint_dir=ck))
+    for a, b in zip(resumed.params, ref.params):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-9, atol=1e-12)
