@@ -943,11 +943,32 @@ class TrigramDecodingGraph:
         config: DecoderConfig = DecoderConfig(),
         silence_model: Optional[GMMHMM] = None,
         dtype=jnp.float32,
+        max_table_bytes: float = 1 << 30,
     ) -> "TrigramDecodingGraph":
         if lm is None:
             raise ValueError("TrigramDecodingGraph requires a language model")
         if not config.loop:
             raise ValueError("history expansion is for connected decoding")
+        # fail fast before materializing the O(V^3) hop tensor: exact
+        # history expansion is for classical vocabularies (<= a few
+        # hundred words); beyond that the supported route is the factored
+        # bigram search + lattice rescoring, which reaches the same
+        # trigram objective at O(V*S^2 + V^2)
+        v_est = len(lexicon) + (1 if silence_model is not None else 0)
+        hop_bytes = (v_est + 1) * v_est * v_est * np.dtype(
+            np.float32 if dtype == jnp.float32 else np.float64
+        ).itemsize
+        if hop_bytes > max_table_bytes:
+            raise ValueError(
+                f"trigram history expansion needs a ({v_est + 1}, {v_est}, "
+                f"{v_est}) hop tensor ({hop_bytes / 2**20:.0f} MiB > budget "
+                f"{max_table_bytes / 2**20:.0f} MiB). For this vocabulary "
+                "decode with FactoredDecodingGraph and rescore the word "
+                "lattice with the trigram LM "
+                "(decode_lattice().rescore(lm) — same objective, "
+                "O(V*S^2 + V^2) instead of O(V^3)); or raise "
+                "max_table_bytes explicitly."
+            )
         some_model = next(iter(unit_models.values()))
         cov_type = some_model.config.cov_type
         words, blocks, emission_params, state_offsets = _compose_words(
@@ -1013,7 +1034,7 @@ class TrigramDecodingGraph:
         return h, v, self.inner_a.shape[1]
 
     @functools.cached_property
-    def _decode_fn(self):
+    def _decode_core(self):
         cov_type = self.cov_type
         neg = -jnp.inf
 
@@ -1099,7 +1120,17 @@ class TrigramDecodingGraph:
             path = jnp.concatenate([head, last_state[None]], axis=0)
             return path, score
 
-        return jax.jit(fn)
+        return fn
+
+    @functools.cached_property
+    def _decode_fn(self):
+        return jax.jit(self._decode_core)
+
+    @functools.cached_property
+    def _decode_batch_fn(self):
+        return jax.jit(
+            jax.vmap(self._decode_core, in_axes=(0, 0) + (None,) * 10)
+        )
 
     def decode(self, features,
                mask=None) -> Tuple[List[str], np.ndarray, float]:
@@ -1113,6 +1144,26 @@ class TrigramDecodingGraph:
         )
         path = np.asarray(path)
         return self._path_to_words(path), path, float(score)
+
+    def decode_batch(
+        self, features, masks
+    ) -> List[Tuple[List[str], np.ndarray, float]]:
+        """Decode ``(B, T, D)`` feature batches (padded, with ``(B, T)``
+        masks) in ONE jitted program — serving parity with
+        :meth:`FactoredDecodingGraph.decode_batch`. Returns per-utterance
+        (words, path, score), identical to looping :meth:`decode`."""
+        obs = jnp.asarray(features, self.dtype)
+        masks = jnp.asarray(masks, bool)
+        paths, scores = self._decode_batch_fn(
+            obs, masks, self.inner_a, self.hop3, self.log_pi_w, self.final3,
+            self.exit_idx, self.state_map, self.pad_mask,
+            self.log_w, self.mu, self.cov,
+        )
+        paths = np.asarray(paths)
+        return [
+            (self._path_to_words(paths[b]), paths[b], float(scores[b]))
+            for b in range(paths.shape[0])
+        ]
 
     def _path_to_words(self, path: np.ndarray) -> List[str]:
         _, v_words, s_max = self.grid_shape

@@ -427,3 +427,58 @@ def test_metrics():
     assert dist == 2
     assert ops["ins"] == 2 and ops["hit"] == 3
     assert wer([], []) == 0.0
+
+
+# -- round-3: trigram graph at serving parity ---------------------------------
+
+
+def test_trigram_decode_batch_and_mask_match_factored(small_world):
+    """Batched + masked trigram decoding (serving parity): with an
+    order-2 LM, decode_batch over padded utterances must equal the
+    factored graph's batched decode AND per-utterance unpadded decodes,
+    words and scores."""
+    units, lex = small_world
+    corpus = ["alpha bravo charlie", "charlie alpha", "bravo bravo alpha"]
+    lm = NGramModel(NGramCounter(2, [Tokenizer.get_tokens(s) for s in corpus]))
+    cfg = DecoderConfig(lm_scale=1.5, word_insertion_penalty=-0.3)
+    fact = FactoredDecodingGraph.build(lex, units, lm, cfg, dtype=jnp.float64)
+    tri = TrigramDecodingGraph.build(lex, units, lm, cfg, dtype=jnp.float64)
+
+    rng = np.random.default_rng(33)
+    utts = [
+        np.concatenate([_emit(units, lex[w], 4, rng) for w in seq])
+        for seq in (["alpha", "bravo"], ["charlie"],
+                    ["bravo", "charlie", "alpha"])
+    ]
+    t_max = max(u.shape[0] for u in utts)
+    batch = np.zeros((len(utts), t_max, utts[0].shape[1]))
+    masks = np.zeros((len(utts), t_max), bool)
+    for i, u in enumerate(utts):
+        batch[i, : u.shape[0]] = u
+        masks[i, : u.shape[0]] = True
+
+    tri_out = tri.decode_batch(batch, masks)
+    fact_out = fact.decode_batch(batch, masks)
+    for i, u in enumerate(utts):
+        words_b, _, score_b = tri_out[i]
+        words_f, _, score_f = fact_out[i]
+        words_u, _, score_u = tri.decode(u)  # unpadded single decode
+        assert words_b == words_f == words_u
+        assert score_b == pytest.approx(score_f, rel=1e-12, abs=1e-9)
+        assert score_b == pytest.approx(score_u, rel=1e-12, abs=1e-9)
+
+
+def test_trigram_build_guard_suggests_lattice_rescoring(small_world):
+    """At vocabularies where the O(V^3) hop tensor exceeds the budget,
+    build() must fail fast with the lattice-rescoring route in the
+    message instead of materializing the tensor."""
+    units, lex = small_world
+    corpus = ["alpha bravo charlie"]
+    lm = NGramModel(NGramCounter(3, [Tokenizer.get_tokens(s) for s in corpus]))
+    with pytest.raises(ValueError, match="rescore"):
+        TrigramDecodingGraph.build(lex, units, lm, DecoderConfig(),
+                                   dtype=jnp.float64, max_table_bytes=64)
+    # generous budget still builds
+    g = TrigramDecodingGraph.build(lex, units, lm, DecoderConfig(),
+                                   dtype=jnp.float64)
+    assert g.hop3.shape[1] == len(lex)
