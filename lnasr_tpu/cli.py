@@ -26,12 +26,9 @@ import numpy as np
 def _cmd_mfcc(args) -> int:
     from lnasr_tpu.config import MFCCConfig
     from lnasr_tpu.models.mfcc import MFCC
-    from lnasr_tpu.utils.audio import read_pcm, read_wave
+    from lnasr_tpu.utils.audio import read_audio
 
-    if args.input.endswith(".wav"):
-        audio, _ = read_wave(args.input)
-    else:
-        audio = read_pcm(args.input)
+    audio, _ = read_audio(args.input)
     cfg = MFCCConfig(spectrum_method=args.spectrum)
     feats = np.asarray(MFCC(cfg)(audio).features)
     np.save(args.output, feats)
@@ -42,11 +39,10 @@ def _cmd_mfcc(args) -> int:
 
 def _cmd_vad(args) -> int:
     from lnasr_tpu.models.recognizer import segment_speech
-    from lnasr_tpu.utils.audio import read_pcm, read_wave
+    from lnasr_tpu.utils.audio import read_audio
     from lnasr_tpu.vad.native import AmrWbVad, WebRtcVad
 
-    audio = (read_wave(args.input)[0] if args.input.endswith(".wav")
-             else read_pcm(args.input))
+    audio, _ = read_audio(args.input)
     if args.detector == "webrtc":
         vad = WebRtcVad(mode=args.mode)
         flags = vad.process(audio)
@@ -100,9 +96,9 @@ def _cmd_lm_ppl(args) -> int:
 
 
 def _read_audio(path: str) -> np.ndarray:
-    from lnasr_tpu.utils.audio import read_pcm, read_wave
+    from lnasr_tpu.utils.audio import read_audio
 
-    return read_wave(path)[0] if path.endswith(".wav") else read_pcm(path)
+    return read_audio(path)[0]
 
 
 def _cmd_train_am(args) -> int:

@@ -205,3 +205,110 @@ def test_cli_mfcc(tmp_path, speech_audio):
     assert main(["mfcc", pcm, out]) == 0
     feats = np.load(out)
     assert feats.shape[1] == 39
+
+
+# -- round-3: arbitrary-format audio ingest -----------------------------------
+
+
+def _sine(sr, seconds=0.25, hz=440.0):
+    t = np.arange(int(sr * seconds)) / sr
+    return 0.5 * np.sin(2 * np.pi * hz * t)
+
+
+def test_read_audio_float32_stereo_wav(tmp_path):
+    """Float32 stereo WAV at a foreign rate (stdlib wave rejects float):
+    read_audio must downmix, resample to 16 kHz, and match a direct
+    Kaiser-sinc resample of the mono mix."""
+    import struct
+
+    from lnasr_tpu.utils.audio import read_audio, resample
+
+    sr = 22050
+    left, right = _sine(sr, hz=440.0), _sine(sr, hz=880.0)
+    inter = np.empty(2 * len(left), np.float32)
+    inter[0::2], inter[1::2] = left, right
+    body = inter.astype("<f4").tobytes()
+    hdr = struct.pack("<HHIIHH", 3, 2, sr, sr * 8, 8, 32)
+    path = tmp_path / "f32.wav"
+    with open(path, "wb") as fp:
+        fp.write(b"RIFF" + struct.pack("<I", 4 + 8 + len(hdr) + 8 + len(body)))
+        fp.write(b"WAVE" + b"fmt " + struct.pack("<I", len(hdr)) + hdr)
+        fp.write(b"data" + struct.pack("<I", len(body)) + body)
+
+    audio, rate = read_audio(str(path))
+    assert rate == 16000 and audio.dtype == np.int16
+    expect = resample((left + right) / 2.0, sr, 16000) * 32768.0
+    assert audio.shape == expect.shape
+    core = slice(100, -100)  # edges see the resampler's boundary taps
+    np.testing.assert_allclose(audio[core], expect[core], atol=2.0)
+
+
+def test_read_audio_24bit_wav(tmp_path):
+    """24-bit PCM WAV (stdlib wave rejects it): signed values round-trip."""
+    import struct
+
+    from lnasr_tpu.utils.audio import read_audio
+
+    sr = 16000
+    vals = (np.asarray(_sine(sr)) * (2**23 - 1)).astype(np.int32)
+    quads = vals.astype("<i4").view(np.uint8).reshape(-1, 4)
+    body = quads[:, :3].tobytes()  # low 3 bytes = 24-bit little-endian
+    hdr = struct.pack("<HHIIHH", 1, 1, sr, sr * 3, 3, 24)
+    path = tmp_path / "p24.wav"
+    with open(path, "wb") as fp:
+        fp.write(b"RIFF" + struct.pack("<I", 4 + 8 + len(hdr) + 8 + len(body)))
+        fp.write(b"WAVE" + b"fmt " + struct.pack("<I", len(hdr)) + hdr)
+        fp.write(b"data" + struct.pack("<I", len(body)) + body)
+
+    audio, _ = read_audio(str(path))
+    expect = (vals / 2**23 * 32768.0)
+    np.testing.assert_allclose(audio, np.clip(expect, -32768, 32767), atol=1.5)
+
+
+def test_read_audio_aiff_and_au(tmp_path):
+    """Big-endian AIFF and Sun AU parse natively (the formats the
+    reference inherits from librosa/audioread)."""
+    import struct
+
+    from lnasr_tpu.utils.audio import read_audio
+
+    sr = 16000
+    pcm = (np.asarray(_sine(sr)) * 32767).astype(">i2")
+
+    # AIFF: FORM/COMM (80-bit extended rate) / SSND
+    mant = sr << 50  # 16000 = 1.953125 * 2^13 -> exponent 16383+13
+    comm = struct.pack(">HIH", 1, len(pcm), 16) + struct.pack(
+        ">HQ", 16383 + 13, mant
+    )
+    ssnd = struct.pack(">II", 0, 0) + pcm.tobytes()
+    chunks = (b"COMM" + struct.pack(">I", len(comm)) + comm
+              + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd)
+    apath = tmp_path / "a.aiff"
+    with open(apath, "wb") as fp:
+        fp.write(b"FORM" + struct.pack(">I", 4 + len(chunks)) + b"AIFF")
+        fp.write(chunks)
+    audio, rate = read_audio(str(apath))
+    assert rate == 16000
+    np.testing.assert_allclose(audio, pcm.astype(np.int16), atol=1)
+
+    # AU: 24-byte header, encoding 3 = 16-bit linear PCM
+    upath = tmp_path / "a.au"
+    with open(upath, "wb") as fp:
+        fp.write(b".snd" + struct.pack(">IIIII", 24, len(pcm) * 2, 3, sr, 1))
+        fp.write(pcm.tobytes())
+    audio, _ = read_audio(str(upath))
+    np.testing.assert_allclose(audio, pcm.astype(np.int16), atol=1)
+
+
+def test_read_audio_pcm_and_unknown(tmp_path, speech_audio):
+    from lnasr_tpu.utils.audio import read_audio, write_pcm
+
+    p = tmp_path / "x.pcm"
+    write_pcm(str(p), np.asarray(speech_audio)[:4000])
+    audio, rate = read_audio(str(p))
+    np.testing.assert_array_equal(audio, np.asarray(speech_audio)[:4000])
+
+    bad = tmp_path / "x.mp3"
+    bad.write_bytes(b"\xff\xfb\x90notarealmp3" * 4)
+    with pytest.raises(ValueError, match="soundfile"):
+        read_audio(str(bad))
