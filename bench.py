@@ -147,12 +147,12 @@ def _stage_accounting(t_frames: int):
     t_pad = _ceil_to(t, 128)
     n_samp = int(SR * UTT_SECONDS)
 
-    # Frontend (ops/mfcc_pallas.py): DFT GEMM (T,480)@(480,512) — the
-    # 400-sample frame is covered by 3 row-groups of 160, basis rows
-    # zero-padded to 480; output packed to 2*kf-2 = 512 lanes — as 3
+    # Frontend (ops/mfcc_pallas.py): ONE DFT GEMM per tile — frames
+    # lane-concatenated in VMEM to K = 480 (-> 4 full 128-wide MXU
+    # K-tiles, 512 padded), output packed to 2*kf-2 = 512 lanes — as 3
     # bf16 passes, + mel GEMM (T,384)@(384,128) as 3 passes. Input: the
     # reshaped pre-emphasized signal, f32; output: (T_pad,128) mel block.
-    fe_flops = b * (3 * 2 * t_pad * 480 * 512 + 3 * 2 * t_pad * 384 * 128)
+    fe_flops = b * (3 * 2 * t_pad * 512 * 512 + 3 * 2 * t_pad * 384 * 128)
     fe_bytes = b * (n_samp * 4 + t_pad * 128 * 4)
 
     # Emissions (ops/gaussian.py): one HIGHEST (6-pass) GEMM

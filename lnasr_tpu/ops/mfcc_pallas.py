@@ -9,20 +9,22 @@ mel energies — the signal is read once, everything else never touches HBM.
 Per (utterance, frame-tile) program:
   1. slice ``TILE_T + p`` rows of the pre-emphasized signal, pre-reshaped
      host-side to ``(rows, frame_step)`` — frame t is rows t..t+p-1, so
-     framing is p cheap sublane slices (no gather at all);
-  2. the fused windowed-DFT GEMM against ``[C | S]`` (the Hamming window
-     is folded into the basis, ``ops/spectral.py``) is accumulated over
-     the p row-groups of the basis — ``o = sum_i x[i:i+T] @ C[i*step:]``
-     — because Mosaic cannot concatenate vectors at non-128-aligned lane
-     offsets; each partial product is a *split-bf16* product: operands
-     split into bf16 hi/lo parts in VMEM, accumulated over 3 MXU passes
-     (relative error ~2^-18 — vs 6 passes for XLA's float32-faithful
-     HIGHEST; ``passes=6`` selects a three-way split with f32 fidelity).
-     The im columns for bin 0 (DC) and bin ``fft_n/2`` (Nyquist) are
+     framing is p cheap sublane slices (no gather at all) — and
+     lane-concatenate the p row-groups into a ``(TILE_T, p*step)`` VMEM
+     scratch (three static lane-offset stores; cheap VPU relayout);
+  2. ONE fused windowed-DFT GEMM of the concatenated frames against
+     ``[C | S]`` (the Hamming window is folded into the basis,
+     ``ops/spectral.py``): a *split-bf16* product — operands split into
+     bf16 hi/lo parts in VMEM, accumulated over 3 MXU passes (relative
+     error ~2^-18 — vs 6 passes for XLA's float32-faithful HIGHEST;
+     ``passes=6`` selects a three-way split with f32 fidelity). A single
+     K = p*step (480 -> 4 full MXU K-tiles) contraction replaces the
+     earlier per-row-group accumulation, whose K=160 groups filled only
+     160/256 of the MXU's K tiles — measured 1.17 -> 0.96 ms. The im
+     columns for bin 0 (DC) and bin ``fft_n/2`` (Nyquist) are
      identically zero for real input, so they are DROPPED from the
      basis: the fused output is ``2*kf - 2`` wide — exactly 512 lanes
-     for the standard 512-pt rFFT instead of 514 padded to 640, cutting
-     the dominant GEMM's MXU work by 20%;
+     for the standard 512-pt rFFT instead of 514 padded to 640;
   3. power spectrum via ``o*o`` and a lane roll (im_k lives ``kf - 1``
      lanes after re_k in the packed output; an iota mask zeroes the two
      lanes where the rotation wraps garbage onto DC/Nyquist);
@@ -108,17 +110,16 @@ def _make_kernel(cfg: MFCCConfig, p_rows: int, w_dft: int, kf: int,
     step = cfg.frame_step
     inv_fftn = 1.0 / cfg.fft_n
 
-    def kernel(x_ref, b1_ref, b2_ref, b3_ref, f1_ref, f2_ref, out_ref):
+    def kernel(x_ref, b1_ref, b2_ref, b3_ref, f1_ref, f2_ref, out_ref,
+               cat_ref):
         j = pl.program_id(1)
         x = x_ref[0, pl.ds(j * TILE_T, TILE_T + p_rows), :]  # (T+p, step)
-        o = None
-        for i in range(p_rows):  # accumulate the DFT over basis row-groups
-            xi = x[i : i + TILE_T, :]  # (TILE_T, step)
-            y_parts = [b1_ref[i], b2_ref[i]]
-            if passes == 6:
-                y_parts.append(b3_ref[i])
-            oi = _split_dot(xi, y_parts, passes)
-            o = oi if o is None else o + oi  # (TILE_T, w_dft) f32
+        for i in range(p_rows):  # lane-concat the frame's row-groups
+            cat_ref[:, i * step : (i + 1) * step] = x[i : i + TILE_T, :]
+        y_parts = [b1_ref[...], b2_ref[...]]
+        if passes == 6:
+            y_parts.append(b3_ref[...])
+        o = _split_dot(cat_ref[:, :], y_parts, passes)  # (TILE_T, w_dft)
         osq = o * o
         # packed layout: im_k sits kf-1 lanes after re_k (the always-zero
         # DC/Nyquist im columns are not stored). Roll right by
@@ -148,9 +149,8 @@ def _frontend_constants(cfg: MFCCConfig, p_rows: int, w_dft: int, pw: int):
     # im columns are dropped so the fused width is 2*kf - 2 (512 for the
     # standard 512-pt rFFT) instead of 2*kf padded to 640
     basis[: cfg.frame_len, kf : 2 * kf - 2] = s[:, 1 : kf - 1]
-    # row-group layout (p_rows, step, w_dft): group i multiplies signal
-    # rows i..i+T (the kernel accumulates over i instead of lane-concat)
-    basis = basis.reshape(p_rows, cfg.frame_step, w_dft)
+    # flat (p_rows*step, w_dft): row i*step+s multiplies the frame's
+    # in-kernel lane-concatenated sample at lane i*step+s
     b1, b2, b3 = _bf16_parts(basis, 3)
 
     fb = mel_filterbank(cfg.n_mels, cfg.fft_n, cfg.sample_rate)  # (M, kf)
@@ -225,6 +225,7 @@ def mel_frontend_pallas(
         out_specs=pl.BlockSpec((1, TILE_T, _LANE), lambda bb, jj: (bb, jj, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, t_pad, _LANE), dtype),
+        scratch_shapes=[pltpu.VMEM((TILE_T, p_rows * step), dtype)],
         interpret=interpret,
     )(y, *consts)
     mel = out[:, :t, : cfg.n_mels]
