@@ -57,7 +57,11 @@ from lnasr_tpu.ops.framing import num_frames, preemphasis
 from lnasr_tpu.ops.spectral import mel_filterbank, windowed_dft_basis
 
 _LANE = 128
-TILE_T = 128  # frames per program (measured best on v5e; 256/512 are ~15% slower)
+# frames per program. Swept on v5e per kernel revision: with the
+# K-aligned single-GEMM layout 256 measures best (0.953 ms vs 0.971 at
+# 128 and 0.968 at 512 for B=64 x 10 s); the old row-group layout
+# preferred 128.
+TILE_T = 256
 
 
 def _ceil_to(x: int, m: int) -> int:
