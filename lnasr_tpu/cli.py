@@ -242,8 +242,13 @@ def _cmd_recognize(args) -> int:
                 print(f"seg {si} #{rank + 1} {h.score:.3f}  {rendered}",
                       file=sys.stderr)
     else:
-        hyp = rec.recognize(audio)
+        segs = rec.recognize_segments(audio, word_times=args.word_times)
+        hyp = " ".join(w for seg in segs for w in seg.words)
         print(hyp)
+        if args.word_times:
+            for seg in segs:
+                for w, a, b in seg.word_times or []:
+                    print(f"time\t{w}\t{a:.3f}\t{b:.3f}", file=sys.stderr)
     if args.ref is not None:
         d = wer_details(args.ref.split(), hyp.split())
         print(f"WER {d['wer']:.3f}  (sub {d['sub']} del {d['del']} "
@@ -334,6 +339,9 @@ def main(argv=None) -> int:
     p.add_argument("--confidence", action="store_true",
                    help="annotate hypotheses with per-word lattice-"
                         "posterior confidences")
+    p.add_argument("--word-times", action="store_true",
+                   help="print per-word time alignments "
+                        "(time\tword\tstart\tend, stderr)")
     p.add_argument("--ref", default=None,
                    help="reference transcript; prints a WER report to stderr")
     p.add_argument("--tpu", action="store_true",

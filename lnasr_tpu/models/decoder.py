@@ -311,8 +311,18 @@ class DecodingGraph:
         words_out = self._path_to_words(path)
         return words_out, path, float(score)
 
-    def _path_to_words(self, path: np.ndarray) -> List[str]:
-        out = [self.words[self.state_word[path[0]]]]
+    def path_to_alignment(self, path: np.ndarray,
+                          n_frames: Optional[int] = None,
+                          ) -> List[Tuple[str, int, int]]:
+        """Word-level time alignment of a decoded state path:
+        ``(word, start_frame, end_frame)`` per word instance (frames
+        inclusive; silence instances dropped, like the word output).
+        ``n_frames`` clips the final span for masked (shape-bucketed)
+        decodes, whose padded tail frames self-point. The reference
+        never decoded at all; word timing is table stakes for a serving
+        recognizer."""
+        ids = [int(self.state_word[path[0]])]
+        starts = [0]
         for t in range(1, len(path)):
             s_prev, s = path[t - 1], path[t]
             if s == s_prev:
@@ -321,8 +331,27 @@ class DecodingGraph:
                 self.state_word[s] != self.state_word[s_prev]
                 or self.word_end[s_prev]
             ):
-                out.append(self.words[self.state_word[s]])
-        return [w for w in out if w != self.SILENCE]
+                ids.append(int(self.state_word[s]))
+                starts.append(t)
+        return _assemble_alignment(self.words, ids, starts,
+                                   n_frames or len(path))
+
+    def _path_to_words(self, path: np.ndarray) -> List[str]:
+        return [w for w, _, _ in self.path_to_alignment(path)]
+
+
+def _assemble_alignment(
+    words: Sequence[str], ids: List[int], starts: List[int], t_len: int
+) -> List[Tuple[str, int, int]]:
+    """Word-instance spans from entry frames: each instance runs to the
+    frame before the next entry (the last to the final frame); silence
+    instances are dropped after the spans are fixed."""
+    out = []
+    for k, (wid, a) in enumerate(zip(ids, starts)):
+        b = (starts[k + 1] - 1) if k + 1 < len(starts) else t_len - 1
+        if words[wid] != SILENCE:
+            out.append((words[wid], a, b))
+    return out
 
 
 def _has_eos(lm: NGramModel) -> bool:
@@ -861,10 +890,16 @@ class FactoredDecodingGraph:
             ))
         return out
 
-    def _path_to_words(self, path: np.ndarray) -> List[str]:
+    def path_to_alignment(self, path: np.ndarray,
+                          n_frames: Optional[int] = None,
+                          ) -> List[Tuple[str, int, int]]:
+        """``(word, start_frame, end_frame)`` per decoded word instance
+        (inclusive frames; silence dropped) — see
+        :meth:`DecodingGraph.path_to_alignment`."""
         s_max = self.grid_shape[1]
         word_ids, locals_ = path // s_max, path % s_max
-        out = [self.words[word_ids[0]]]
+        ids = [int(word_ids[0])]
+        starts = [0]
         for t in range(1, len(path)):
             if path[t] == path[t - 1]:
                 continue
@@ -872,8 +907,13 @@ class FactoredDecodingGraph:
                 word_ids[t] != word_ids[t - 1]
                 or locals_[t - 1] == self._exit_idx_np[word_ids[t - 1]]
             ):
-                out.append(self.words[word_ids[t]])
-        return [w for w in out if w != self.SILENCE]
+                ids.append(int(word_ids[t]))
+                starts.append(t)
+        return _assemble_alignment(self.words, ids, starts,
+                                   n_frames or len(path))
+
+    def _path_to_words(self, path: np.ndarray) -> List[str]:
+        return [w for w, _, _ in self.path_to_alignment(path)]
 
 
 class TrigramDecodingGraph:
@@ -1165,11 +1205,17 @@ class TrigramDecodingGraph:
             for b in range(paths.shape[0])
         ]
 
-    def _path_to_words(self, path: np.ndarray) -> List[str]:
+    def path_to_alignment(self, path: np.ndarray,
+                          n_frames: Optional[int] = None,
+                          ) -> List[Tuple[str, int, int]]:
+        """``(word, start_frame, end_frame)`` per decoded word instance
+        (inclusive frames; silence dropped) — see
+        :meth:`DecodingGraph.path_to_alignment`."""
         _, v_words, s_max = self.grid_shape
         copy_ids, locals_ = path // s_max, path % s_max
         word_ids = copy_ids % v_words
-        out = [self.words[word_ids[0]]]
+        ids = [int(word_ids[0])]
+        starts = [0]
         for t in range(1, len(path)):
             if path[t] == path[t - 1]:
                 continue
@@ -1177,5 +1223,10 @@ class TrigramDecodingGraph:
                 copy_ids[t] != copy_ids[t - 1]
                 or locals_[t - 1] == self._exit_idx_np[word_ids[t - 1]]
             ):
-                out.append(self.words[word_ids[t]])
-        return [w for w in out if w != SILENCE]
+                ids.append(int(word_ids[t]))
+                starts.append(t)
+        return _assemble_alignment(self.words, ids, starts,
+                                   n_frames or len(path))
+
+    def _path_to_words(self, path: np.ndarray) -> List[str]:
+        return [w for w, _, _ in self.path_to_alignment(path)]

@@ -128,6 +128,9 @@ class SegmentResult:
     end_s: float
     words: List[str]
     score: float
+    # optional word-level time alignment: (word, start_s, end_s) in
+    # ABSOLUTE stream seconds (see Recognizer.recognize_segments)
+    word_times: Optional[List[Tuple[str, float, float]]] = None
 
 
 class Recognizer:
@@ -216,7 +219,12 @@ class Recognizer:
         else:
             raise ValueError(f"unknown graph type: {graph!r}")
 
-    def recognize_segments(self, audio) -> List[SegmentResult]:
+    def recognize_segments(self, audio,
+                           word_times: bool = False) -> List[SegmentResult]:
+        """VAD-segment and decode ``audio``. With ``word_times`` each
+        :class:`SegmentResult` also carries per-word ``(word, start_s,
+        end_s)`` alignments in absolute stream seconds, derived from the
+        decoded state path's word-entry frames."""
         audio = np.asarray(audio)
         if self.vad is not None:
             # streaming detectors carry state across calls; recognition of a
@@ -231,12 +239,36 @@ class Recognizer:
         results = []
         sr = float(self.sample_rate)
         for a, b in segments:
-            words, score = self.decode_segment(audio[a:b])
+            if word_times:
+                words, score, times = self.decode_segment_aligned(audio[a:b])
+                times = [(w, a / sr + t0, a / sr + t1) for w, t0, t1 in times]
+            else:
+                words, score = self.decode_segment(audio[a:b])
+                times = None
             results.append(
                 SegmentResult(start_s=a / sr, end_s=b / sr,
-                              words=words, score=score)
+                              words=words, score=score, word_times=times)
             )
         return results
+
+    def decode_segment_aligned(self, audio_seg):
+        """Decode one segment and return ``(words, score, word_times)``
+        with per-word ``(word, start_s, end_s)`` relative to the segment
+        (frame start/end converted via the MFCC hop and frame length)."""
+        feats, mask = self._segment_features(audio_seg)
+        words, path, score = self.graph.decode(feats, mask)
+        n_valid = int(mask.sum()) if mask is not None else len(path)
+        align = self.graph.path_to_alignment(np.asarray(path),
+                                             n_frames=n_valid)
+        cfg = self.am.mfcc.config
+        sr = float(self.sample_rate)
+        seg_s = len(np.asarray(audio_seg)) / sr
+        times = [
+            (w, a * cfg.frame_step / sr,
+             min(seg_s, (b * cfg.frame_step + cfg.frame_len) / sr))
+            for w, a, b in align
+        ]
+        return words, score, times
 
     def _segment_features(self, audio_seg):
         """Features (+ validity mask when shape-bucketed) for one segment."""

@@ -339,3 +339,48 @@ def test_8khz_end_to_end_sample_rate_plumbing():
         assert 0.0 <= s.start_s < s.end_s <= total_s + 1e-9
     # a 16 kHz divisor would place every timestamp in the first half
     assert segs[-1].end_s > 0.55 * total_s
+
+
+def test_word_time_alignment(trained_recognizer):
+    """Word-level time alignment: words at KNOWN positions in the
+    constructed utterance must come back with spans overlapping their
+    true audio windows, in monotonic order, for all three graphs'
+    path_to_alignment and through recognize_segments(word_times=True)."""
+    rec, rng = trained_recognizer
+    gap = 0.3
+    truth = ["low", "high", "mid"]
+    parts = [_gap(rng, gap)]
+    true_spans = []
+    t_cursor = gap
+    for w in truth:
+        a = _word_audio(w, rng)
+        true_spans.append((w, t_cursor, t_cursor + len(a) / SR))
+        parts.append(a)
+        parts.append(_gap(rng, gap))
+        t_cursor += len(a) / SR + gap
+    audio = np.concatenate(parts)
+
+    segs = rec.recognize_segments(audio, word_times=True)
+    hyp = [w for s in segs for w in s.words]
+    assert hyp == truth, hyp
+    times = [t for s in segs for t in (s.word_times or [])]
+    assert [w for w, _, _ in times] == truth
+    prev_end = 0.0
+    for (w, a, b), (tw, ta, tb) in zip(times, true_spans):
+        assert w == tw
+        assert a < b and a >= prev_end - 0.06  # monotone (frame overlap)
+        prev_end = b
+        # decoded span overlaps the true window generously (VAD/silence
+        # absorb edges)
+        assert a < tb and b > ta, (w, (a, b), (ta, tb))
+
+    # alignment words always equal the decode words (dense graph here;
+    # the factored/trigram variants share the assembly helper and are
+    # pinned by their own decode parity tests)
+    feats = rec.am.features(audio)
+    words, path, _ = rec.graph.decode(feats)
+    align = rec.graph.path_to_alignment(path)
+    assert [w for w, _, _ in align] == words
+    frames = [(a, b) for _, a, b in align]
+    assert all(a <= b for a, b in frames)
+    assert all(b < a2 for (_, b), (a2, _) in zip(frames, frames[1:]))
