@@ -147,12 +147,14 @@ def _stage_accounting(t_frames: int):
     t_pad = _ceil_to(t, 128)
     n_samp = int(SR * UTT_SECONDS)
 
-    # Frontend (ops/mfcc_pallas.py): ONE DFT GEMM per tile — frames
-    # lane-concatenated in VMEM to K = 480 (-> 4 full 128-wide MXU
-    # K-tiles, 512 padded), output packed to 2*kf-2 = 512 lanes — as 3
-    # bf16 passes, + mel GEMM (T,384)@(384,128) as 3 passes. Input: the
-    # reshaped pre-emphasized signal, f32; output: (T_pad,128) mel block.
-    fe_flops = b * (3 * 2 * t_pad * 512 * 512 + 3 * 2 * t_pad * 384 * 128)
+    # Frontend (ops/mfcc_pallas.py, radix-2 DIF): frames lane-
+    # concatenated in VMEM, butterflied into even/odd half-signals, then
+    # TWO half-size DFT GEMMs — (T,256)@(256,256) even + (T,512)@
+    # (512,256) odd — and a mel GEMM (T,512)@(512,128) over the even/odd-
+    # permuted filterbank; all as 3 bf16 passes. Input: the reshaped
+    # pre-emphasized signal, f32; output: (T_pad,128) mel block.
+    fe_flops = b * (3 * 2 * t_pad * (256 * 256 + 512 * 256)
+                    + 3 * 2 * t_pad * 512 * 128)
     fe_bytes = b * (n_samp * 4 + t_pad * 128 * 4)
 
     # Emissions (ops/gaussian.py): one HIGHEST (6-pass) GEMM

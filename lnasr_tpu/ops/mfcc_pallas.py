@@ -168,6 +168,119 @@ def _frontend_constants(cfg: MFCCConfig, p_rows: int, w_dft: int, pw: int):
             np.asarray(f1), np.asarray(f2))
 
 
+
+
+# -- radix-2 decimation-in-frequency variant ---------------------------------
+#
+# X_{2k}   = DFT_half(y_n + y_{n+half})                    (real input)
+# X_{2k+1} = DFT_half((y_n - y_{n+half}) * e^{-i pi n/half})  (complex)
+#
+# where y is the WINDOWED frame (the window cannot fold into the bases
+# here — the butterfly add/sub happens first — so it is two explicit VPU
+# multiplies). Two half-size GEMMs replace the full-size one: 3*2*T*
+# (half^2 + 2*half*half/2... ) = 25% fewer DFT MXU flops at fft_n=512
+# ((256,256) + (512,256) vs (512,512)). The even/odd bin interleave is
+# absorbed into a PERMUTED mel filterbank (a host constant), so no
+# device-side reordering exists at all.
+
+
+def _make_kernel_radix2(cfg: MFCCConfig, p_rows: int, passes: int, dtype):
+    step = cfg.frame_step
+    fft_n = cfg.fft_n
+    half = fft_n // 2
+    row_len = p_rows * step
+    inv_fftn = 1.0 / fft_n
+
+    def kernel(x_ref, w1_ref, w2_ref, ct_ref, st_ref,
+               a1_ref, a2_ref, a3_ref, b1_ref, b2_ref, b3_ref,
+               f1_ref, f2_ref, out_ref, cat_ref):
+        j = pl.program_id(1)
+        x = x_ref[0, pl.ds(j * TILE_T, TILE_T + p_rows), :]
+        for i in range(p_rows):  # lane-concat the frame's row-groups
+            cat_ref[:, i * step : (i + 1) * step] = x[i : i + TILE_T, :]
+        if row_len < fft_n:  # scratch tail is uninitialized; zero it
+            cat_ref[:, row_len:] = jnp.zeros(
+                (TILE_T, fft_n - row_len), dtype
+            )
+        y1 = cat_ref[:, :half] * w1_ref[...]
+        y2 = cat_ref[:, half:] * w2_ref[...]
+        u = y1 + y2
+        d = y1 - y2
+        v = jnp.concatenate([d * ct_ref[...], -d * st_ref[...]], axis=1)
+
+        ya = [a1_ref[...], a2_ref[...]]
+        yb = [b1_ref[...], b2_ref[...]]
+        if passes == 6:
+            ya.append(a3_ref[...])
+            yb.append(b3_ref[...])
+        o1 = _split_dot(u, ya, passes)  # (T, half): even bins, packed
+        o2 = _split_dot(v, yb, passes)  # (T, half): odd bins re|im
+
+        osq1 = o1 * o1
+        lane = jax.lax.broadcasted_iota(jnp.int32, osq1.shape, 1)
+        # packed rFFT_half: im_k sits half/2 lanes after re_k; DC and
+        # half-Nyquist (= bin fft_n/2) have zero im -> mask the wrap
+        im_ok = jnp.logical_and(lane != 0, lane != half // 2)
+        rolled1 = pltpu.roll(osq1, half - half // 2, axis=1)
+        pe = osq1 + jnp.where(im_ok, rolled1, 0.0)
+        osq2 = o2 * o2
+        # odd bins: im_k at lane half/2 + k for every k; wrap lanes land
+        # past the valid half/2 outputs, where the filterbank rows are 0
+        po = osq2 + pltpu.roll(osq2, half - half // 2, axis=1)
+        pcat = jnp.concatenate([pe, po], axis=1) * inv_fftn
+        mel = _split_dot(pcat, [f1_ref[...], f2_ref[...]], 3)
+        out_ref[0, :, :] = mel.astype(dtype)
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _frontend_constants_radix2(cfg: MFCCConfig):
+    """Window halves, twiddles, half-size DFT bases, and the even/odd-
+    permuted mel filterbank (+ energy column)."""
+    from lnasr_tpu.ops.framing import hamming_window
+
+    fft_n = cfg.fft_n
+    half = fft_n // 2
+    hk = half // 2 + 1  # rFFT_half bin count
+    kf = fft_n // 2 + 1
+
+    win = np.zeros(fft_n, np.float32)
+    win[: cfg.frame_len] = hamming_window(cfg.frame_len, np.float64)
+    w1 = win[:half][None, :].astype(np.float32)
+    w2 = win[half:][None, :].astype(np.float32)
+    n = np.arange(half, dtype=np.float64)
+    ct = np.cos(np.pi * n / half)[None, :].astype(np.float32)
+    st = np.sin(np.pi * n / half)[None, :].astype(np.float32)
+
+    k_e = np.arange(hk, dtype=np.float64)
+    ang = 2.0 * np.pi * np.outer(n, k_e) / half  # (half, hk)
+    b_even = np.zeros((half, half), np.float32)
+    b_even[:, :hk] = np.cos(ang)
+    b_even[:, hk - 1 + 1 : hk - 1 + hk - 1] = -np.sin(ang[:, 1 : hk - 1])
+    a1, a2, a3 = _bf16_parts(b_even, 3)
+
+    k_o = np.arange(half // 2, dtype=np.float64)
+    ang_o = 2.0 * np.pi * np.outer(n, k_o) / half  # (half, half/2)
+    b_odd = np.zeros((2 * half, half), np.float32)
+    b_odd[:half, : half // 2] = np.cos(ang_o)
+    b_odd[:half, half // 2 :] = -np.sin(ang_o)
+    b_odd[half:, : half // 2] = np.sin(ang_o)
+    b_odd[half:, half // 2 :] = np.cos(ang_o)
+    c1, c2, c3 = _bf16_parts(b_odd, 3)
+
+    fb = mel_filterbank(cfg.n_mels, fft_n, cfg.sample_rate)  # (M, kf)
+    fbank = np.zeros((2 * half, _LANE), np.float32)
+    for big_k in range(kf):
+        row = big_k // 2 if big_k % 2 == 0 else half + (big_k - 1) // 2
+        fbank[row, : cfg.n_mels] = fb[:, big_k].astype(np.float32)
+        fbank[row, cfg.n_mels] = 1.0  # energy column
+    f1, f2 = _bf16_parts(fbank, 2)
+    return (w1, w2, ct, st, np.asarray(a1), np.asarray(a2), np.asarray(a3),
+            np.asarray(c1), np.asarray(c2), np.asarray(c3),
+            np.asarray(f1), np.asarray(f2))
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "passes", "interpret"))
 def mel_frontend_pallas(
     signals: jax.Array,
@@ -211,8 +324,18 @@ def mel_frontend_pallas(
     y = jnp.pad(y, ((0, 0), (0, need - s_len))) if need > s_len else y[:, :need]
     y = y.reshape(b, rows, step)
 
-    consts = _frontend_constants(cfg, p_rows, w_dft, pw)
-    kernel = _make_kernel(cfg, p_rows, w_dft, kf, pw, passes, dtype)
+    # radix-2 DIF path: two half-size DFT GEMMs (25% fewer MXU passes).
+    # Needs lane-tile-aligned half widths and the frame row-span inside
+    # one FFT length; the direct single-GEMM kernel covers the rest.
+    radix2 = (cfg.fft_n % (2 * _LANE) == 0) and (p_rows * step <= cfg.fft_n)
+    if radix2:
+        consts = _frontend_constants_radix2(cfg)
+        kernel = _make_kernel_radix2(cfg, p_rows, passes, dtype)
+        scratch_w = cfg.fft_n
+    else:
+        consts = _frontend_constants(cfg, p_rows, w_dft, pw)
+        kernel = _make_kernel(cfg, p_rows, w_dft, kf, pw, passes, dtype)
+        scratch_w = p_rows * step
     const_specs = [
         pl.BlockSpec(c.shape, lambda bb, jj, nd=c.ndim: (0,) * nd,
                      memory_space=pltpu.VMEM)
@@ -229,7 +352,7 @@ def mel_frontend_pallas(
         out_specs=pl.BlockSpec((1, TILE_T, _LANE), lambda bb, jj: (bb, jj, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, t_pad, _LANE), dtype),
-        scratch_shapes=[pltpu.VMEM((TILE_T, p_rows * step), dtype)],
+        scratch_shapes=[pltpu.VMEM((TILE_T, scratch_w), dtype)],
         interpret=interpret,
     )(y, *consts)
     mel = out[:, :t, : cfg.n_mels]
