@@ -102,7 +102,8 @@ def bench_factored_decode(vocab: int, n_frames: int, dim: int = 8,
                     # index-dependent input defeats loop hoisting; summing
                     # the path keeps the backtrace live
                     path, score = decode_fn(
-                        frames + i.astype(jnp.float32) * 1e-6, *graph_args
+                        frames + i.astype(jnp.float32) * 1e-6, None,
+                        *graph_args
                     )
                     return acc + score + path.sum().astype(jnp.float32)
 

@@ -50,9 +50,11 @@ def _fwd_kernel(pi_ref, at_ref, exitm_ref, hop_ref, eye_ref, logb_ref,
                 mask_ref, out_ref, v_ref, *, has_hop: bool):
     """One block of _TC frames. Shapes: pi (S, V), at (S, S, V) with
     ``at[s, j, v] = inner_a[v, s, j]``, exitm (S, V), hop (V, V), eye
-    (V, V), logb/out (TC, S, V) — all VMEM; mask (TC,) int32 in SMEM
-    (masked frames are identity steps: grid unchanged). Scratch v (S, V)
-    persists across grid steps."""
+    (V, V), logb/out (TC, S, V) — all VMEM; mask (T_pad,) int32 lives
+    UNBLOCKED in SMEM, indexed by the global frame id (newer Pallas
+    rejects rank-1 SMEM block shapes that are neither the full array nor
+    128-multiples; masked frames are identity steps: grid unchanged).
+    Scratch v (S, V) persists across grid steps."""
     tc, s_pad, v_pad = logb_ref.shape
     blk = pl.program_id(0)
     dtype = v_ref.dtype
@@ -60,7 +62,7 @@ def _fwd_kernel(pi_ref, at_ref, exitm_ref, hop_ref, eye_ref, logb_ref,
     def frame(i, _):
         t = blk * tc + i
         lb = logb_ref[i]
-        valid = mask_ref[i] > 0
+        valid = mask_ref[t] > 0
 
         @pl.when(t == 0)
         def _():
@@ -163,7 +165,7 @@ def factored_forward_pallas(
             pl.BlockSpec(memory_space=pltpu.VMEM),  # hop
             pl.BlockSpec(memory_space=pltpu.VMEM),  # eye
             pl.BlockSpec((_TC, _SUB, v_pad), lambda b: (b, 0, 0)),
-            pl.BlockSpec((_TC,), lambda b: (b,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # whole mask, unblocked
         ],
         out_specs=pl.BlockSpec((_TC, _SUB, v_pad), lambda b: (b, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((t_pad, _SUB, v_pad), dtype),
