@@ -1,0 +1,120 @@
+"""Hardware lowering smoke tests for every Pallas kernel.
+
+The regular suite runs the kernels in INTERPRET mode on CPU, which
+validates semantics but not Mosaic lowering — a Pallas version bump once
+broke the factored word-graph kernel on real TPUs (rank-1 SMEM block
+rule) while the whole interpret suite stayed green. These tests compile
+and run each kernel on the actual accelerator and are skipped unless one
+is attached:
+
+    JAX_PLATFORMS='' python -m pytest tests/test_tpu_smoke.py -q
+
+(The main conftest pins the CPU backend, so on a TPU host run this file
+with the platform pin removed, or via ``python tests/test_tpu_smoke.py``
+which re-execs without the pin.)
+"""
+
+import os
+import sys
+
+if __name__ == "__main__":  # direct run: drop the conftest CPU pin
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ}
+    env.pop("JAX_PLATFORMS", None)  # let the TPU plugin win
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    sys.exit(subprocess.call(
+        [sys.executable, "-m", "pytest", __file__, "-q",
+         "-p", "no:cacheprovider", "--noconftest"],
+        env=env,
+    ))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="hardware lowering smoke test: needs a real TPU backend",
+)
+
+
+def _rng():
+    return np.random.default_rng(0)
+
+
+def test_fused_mfcc_frontend_lowers_and_matches_xla():
+    from lnasr_tpu.config import MFCCConfig
+    from lnasr_tpu.models.mfcc import mfcc_features, mfcc_features_fused
+
+    cfg = MFCCConfig(energy_floor=1e-10)
+    sig = jnp.asarray(
+        _rng().normal(scale=3000.0, size=(2, 8000)).astype(np.float32)
+    )
+    fused, _ = mfcc_features_fused(sig, cfg, dtype=jnp.float32)
+    ref = jax.vmap(
+        lambda s: mfcc_features(s, cfg, dtype=jnp.float32).features
+    )(sig)
+    err = float(jnp.max(jnp.abs(fused - ref)))
+    assert err < 0.1, f"fused-vs-XLA feature err {err}"
+
+
+def test_small_n_viterbi_kernel_lowers():
+    from lnasr_tpu.ops.trellis import viterbi_scan
+    from lnasr_tpu.ops.trellis_pallas import viterbi_pallas
+
+    rng = _rng()
+    for n in (5, 12):
+        log_a = jnp.asarray(np.log(rng.dirichlet(np.ones(n), size=n)), jnp.float32)
+        log_pi = jnp.asarray(np.log(rng.dirichlet(np.ones(n))), jnp.float32)
+        log_b = jnp.asarray(rng.normal(size=(3, 40, n)).astype(np.float32))
+        path, score = viterbi_pallas(log_pi, log_a, log_b)
+        ref = jax.vmap(lambda lb: viterbi_scan(log_pi, log_a, lb))(log_b)
+        np.testing.assert_array_equal(np.asarray(path), np.asarray(ref.path))
+
+
+def test_dense_viterbi_kernel_lowers():
+    from lnasr_tpu.ops.trellis import viterbi_scan
+    from lnasr_tpu.ops.trellis_pallas import viterbi_pallas_dense
+
+    rng = _rng()
+    n, t = 300, 50
+    log_a = jnp.asarray(np.log(rng.dirichlet(np.ones(n), size=n)), jnp.float32)
+    log_pi = jnp.asarray(np.log(rng.dirichlet(np.ones(n))), jnp.float32)
+    log_b = jnp.asarray(rng.normal(size=(t, n)).astype(np.float32))
+    path, score = viterbi_pallas_dense(log_pi, log_a, log_b)
+    ref = viterbi_scan(log_pi, log_a, log_b)
+    np.testing.assert_array_equal(np.asarray(path), np.asarray(ref.path))
+
+
+def test_factored_forward_kernel_lowers():
+    """The kernel the JAX version bump broke: masked + unmasked."""
+    from lnasr_tpu.ops.factored_pallas import factored_forward_pallas
+
+    rng = _rng()
+    v, s, t = 20, 3, 40
+    pi = np.full((v, s), -1e30, np.float32)
+    pi[:, 0] = np.log(1.0 / v)
+    inner = np.full((v, s, s), -1e30, np.float32)
+    for j in range(s):
+        inner[:, j, j] = np.log(0.5)
+        if j + 1 < s:
+            inner[:, j, j + 1] = np.log(0.5)
+    exit_idx = np.full(v, s - 1, np.int64)
+    hop = np.log(np.ones((v, v), np.float32) / v)
+    log_b = rng.normal(size=(t, v, s)).astype(np.float32)
+    mask = np.ones(t, bool)
+    mask[-6:] = False
+
+    grids = factored_forward_pallas(
+        jnp.asarray(pi), jnp.asarray(inner), jnp.asarray(exit_idx),
+        jnp.asarray(hop), jnp.asarray(log_b), jnp.asarray(mask),
+    )
+    assert grids.shape == (t, v, s)
+    assert bool(jnp.isfinite(grids[0, :, 0]).all())
+    # masked frames are identity steps
+    np.testing.assert_array_equal(
+        np.asarray(grids[-1]), np.asarray(grids[-7])
+    )
