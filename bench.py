@@ -147,13 +147,13 @@ def _stage_accounting(t_frames: int):
     t_pad = _ceil_to(t, 128)
     n_samp = int(SR * UTT_SECONDS)
 
-    # Frontend (ops/mfcc_pallas.py, radix-2 DIF): frames lane-
-    # concatenated in VMEM, butterflied into even/odd half-signals, then
-    # TWO half-size DFT GEMMs — (T,256)@(256,256) even + (T,512)@
-    # (512,256) odd — and a mel GEMM (T,512)@(512,128) over the even/odd-
-    # permuted filterbank; all as 3 bf16 passes. Input: the reshaped
-    # pre-emphasized signal, f32; output: (T_pad,128) mel block.
-    fe_flops = b * (3 * 2 * t_pad * (256 * 256 + 512 * 256)
+    # Frontend (ops/mfcc_pallas.py, radix-4 DIF): frames lane-
+    # concatenated in VMEM, two exact-f32 butterfly levels, then FOUR
+    # quarter-size DFT GEMMs — (T,128)@(128,128) real + 3x (T,256)@
+    # (256,128) complex (shared basis) — and a mel GEMM (T,512)@(512,128)
+    # over the 4-way-permuted filterbank; all as 3 bf16 passes. Input:
+    # the reshaped pre-emphasized signal, f32; output: (T_pad,128) mel.
+    fe_flops = b * (3 * 2 * t_pad * (128 * 128 + 3 * 256 * 128)
                     + 3 * 2 * t_pad * 512 * 128)
     fe_bytes = b * (n_samp * 4 + t_pad * 128 * 4)
 

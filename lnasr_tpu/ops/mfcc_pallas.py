@@ -281,6 +281,144 @@ def _frontend_constants_radix2(cfg: MFCCConfig):
             np.asarray(f1), np.asarray(f2))
 
 
+
+
+# -- radix-4 decimation-in-frequency variant ---------------------------------
+#
+# Two butterfly levels in exact f32, then FOUR quarter-size DFT GEMMs:
+#
+#   X_{4k}   = rFFT_Q(u1),  u1 = (y_n+y_{n+H}) + (y_{n+Q}+y_{n+H+Q})
+#   X_{4k+2} = DFT_Q(ub),   ub = (u_n - u_{n+Q}) e^{-i pi n/Q}
+#   X_{4k+1} = DFT_Q(v1),   v  = (y_n - y_{n+H}) e^{-i pi n/H}, v1 = v_n+v_{n+Q}
+#   X_{4k+3} = DFT_Q(vb),   vb = (v_n - v_{n+Q}) e^{-i pi n/Q}
+#
+# with H = fft_n/2, Q = fft_n/4. The three complex quarter-DFTs share ONE
+# (2Q, Q) basis; per 3-pass frame-row the DFT costs 2*(Q*Q + 3*2Q*Q)*3
+# MXU flops — 42% below radix-2, 56% below the direct kernel. The 4-way
+# bin interleave is absorbed into the permuted mel filterbank.
+
+
+def _make_kernel_radix4(cfg: MFCCConfig, p_rows: int, passes: int, dtype):
+    step = cfg.frame_step
+    fft_n = cfg.fft_n
+    half = fft_n // 2
+    q = fft_n // 4
+    row_len = p_rows * step
+    inv_fftn = 1.0 / fft_n
+
+    def kernel(x_ref, w1_ref, w2_ref, ct1_ref, st1_ref, ct2_ref, st2_ref,
+               a1_ref, a2_ref, a3_ref, q1_ref, q2_ref, q3_ref,
+               f1_ref, f2_ref, out_ref, cat_ref):
+        j = pl.program_id(1)
+        x = x_ref[0, pl.ds(j * TILE_T, TILE_T + p_rows), :]
+        for i in range(p_rows):  # lane-concat the frame's row-groups
+            cat_ref[:, i * step : (i + 1) * step] = x[i : i + TILE_T, :]
+        if row_len < fft_n:
+            cat_ref[:, row_len:] = jnp.zeros(
+                (TILE_T, fft_n - row_len), dtype
+            )
+        y1 = cat_ref[:, :half] * w1_ref[...]
+        y2 = cat_ref[:, half:] * w2_ref[...]
+        u = y1 + y2
+        d0 = y1 - y2
+        v_re = d0 * ct1_ref[...]
+        v_im = -d0 * st1_ref[...]
+        # level 2 (all slices are Q = lane-tile aligned)
+        u1 = u[:, :q] + u[:, q:]
+        du = u[:, :q] - u[:, q:]
+        ub = jnp.concatenate([du * ct2_ref[...], -du * st2_ref[...]], axis=1)
+        v1 = jnp.concatenate(
+            [v_re[:, :q] + v_re[:, q:], v_im[:, :q] + v_im[:, q:]], axis=1
+        )
+        dr = v_re[:, :q] - v_re[:, q:]
+        di = v_im[:, :q] - v_im[:, q:]
+        vb = jnp.concatenate(
+            [dr * ct2_ref[...] + di * st2_ref[...],
+             di * ct2_ref[...] - dr * st2_ref[...]], axis=1
+        )
+
+        ya = [a1_ref[...], a2_ref[...]]
+        yq = [q1_ref[...], q2_ref[...]]
+        if passes == 6:
+            ya.append(a3_ref[...])
+            yq.append(q3_ref[...])
+        o_a = _split_dot(u1, ya, passes)  # (T, Q): bins 4k, packed rFFT_Q
+        o_b = _split_dot(ub, yq, passes)  # (T, Q): bins 4k+2, re|im
+        o_c = _split_dot(v1, yq, passes)  # (T, Q): bins 4k+1
+        o_d = _split_dot(vb, yq, passes)  # (T, Q): bins 4k+3
+
+        sq_a = o_a * o_a
+        lane = jax.lax.broadcasted_iota(jnp.int32, sq_a.shape, 1)
+        im_ok = jnp.logical_and(lane != 0, lane != q // 2)
+        p_a = sq_a + jnp.where(im_ok, pltpu.roll(sq_a, q - q // 2, axis=1), 0.0)
+
+        def cpow(o):  # complex quarter-DFT: re at k, im at q/2 + k
+            sq = o * o
+            return sq + pltpu.roll(sq, q - q // 2, axis=1)
+
+        pcat = jnp.concatenate(
+            [p_a, cpow(o_b), cpow(o_c), cpow(o_d)], axis=1
+        ) * inv_fftn
+        mel = _split_dot(pcat, [f1_ref[...], f2_ref[...]], 3)
+        out_ref[0, :, :] = mel.astype(dtype)
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _frontend_constants_radix4(cfg: MFCCConfig):
+    """Window halves, both twiddle levels, the packed rFFT_Q basis, the
+    SHARED complex DFT_Q basis, and the 4-way-permuted mel filterbank."""
+    from lnasr_tpu.ops.framing import hamming_window
+
+    fft_n = cfg.fft_n
+    half = fft_n // 2
+    q = fft_n // 4
+    qk = q // 2 + 1  # rFFT_Q bin count
+    kf = fft_n // 2 + 1
+
+    win = np.zeros(fft_n, np.float32)
+    win[: cfg.frame_len] = hamming_window(cfg.frame_len, np.float64)
+    w1 = win[:half][None, :].astype(np.float32)
+    w2 = win[half:][None, :].astype(np.float32)
+    n_h = np.arange(half, dtype=np.float64)
+    ct1 = np.cos(np.pi * n_h / half)[None, :].astype(np.float32)
+    st1 = np.sin(np.pi * n_h / half)[None, :].astype(np.float32)
+    n_q = np.arange(q, dtype=np.float64)
+    ct2 = np.cos(np.pi * n_q / q)[None, :].astype(np.float32)
+    st2 = np.sin(np.pi * n_q / q)[None, :].astype(np.float32)
+
+    k_r = np.arange(qk, dtype=np.float64)
+    ang = 2.0 * np.pi * np.outer(n_q, k_r) / q  # (Q, qk)
+    b_real = np.zeros((q, q), np.float32)
+    b_real[:, :qk] = np.cos(ang)
+    b_real[:, qk : qk + qk - 2] = -np.sin(ang[:, 1 : qk - 1])
+    a1, a2, a3 = _bf16_parts(b_real, 3)
+
+    k_c = np.arange(q // 2, dtype=np.float64)
+    ang_c = 2.0 * np.pi * np.outer(n_q, k_c) / q  # (Q, Q/2)
+    b_cplx = np.zeros((2 * q, q), np.float32)
+    b_cplx[:q, : q // 2] = np.cos(ang_c)
+    b_cplx[:q, q // 2 :] = -np.sin(ang_c)
+    b_cplx[q:, : q // 2] = np.sin(ang_c)
+    b_cplx[q:, q // 2 :] = np.cos(ang_c)
+    c1, c2, c3 = _bf16_parts(b_cplx, 3)
+
+    fb = mel_filterbank(cfg.n_mels, fft_n, cfg.sample_rate)  # (M, kf)
+    fbank = np.zeros((4 * q, _LANE), np.float32)
+    for big_k in range(kf):
+        block, idx = big_k % 4, big_k // 4
+        # kernel block order: [4k | 4k+2 | 4k+1 | 4k+3]
+        row = {0: 0, 2: q, 1: 2 * q, 3: 3 * q}[block] + idx
+        fbank[row, : cfg.n_mels] = fb[:, big_k].astype(np.float32)
+        fbank[row, cfg.n_mels] = 1.0  # energy column
+    f1, f2 = _bf16_parts(fbank, 2)
+    return (w1, w2, ct1, st1, ct2, st2,
+            np.asarray(a1), np.asarray(a2), np.asarray(a3),
+            np.asarray(c1), np.asarray(c2), np.asarray(c3),
+            np.asarray(f1), np.asarray(f2))
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "passes", "interpret"))
 def mel_frontend_pallas(
     signals: jax.Array,
@@ -324,11 +462,16 @@ def mel_frontend_pallas(
     y = jnp.pad(y, ((0, 0), (0, need - s_len))) if need > s_len else y[:, :need]
     y = y.reshape(b, rows, step)
 
-    # radix-2 DIF path: two half-size DFT GEMMs (25% fewer MXU passes).
-    # Needs lane-tile-aligned half widths and the frame row-span inside
-    # one FFT length; the direct single-GEMM kernel covers the rest.
-    radix2 = (cfg.fft_n % (2 * _LANE) == 0) and (p_rows * step <= cfg.fft_n)
-    if radix2:
+    # DFT decomposition ladder (each level needs lane-tile-aligned
+    # sub-widths and the frame row-span inside one FFT length): radix-4
+    # (56% fewer DFT MXU flops than direct) -> radix-2 (25%) -> the
+    # direct single-GEMM kernel for everything else.
+    fits = p_rows * step <= cfg.fft_n
+    if cfg.fft_n % (4 * _LANE) == 0 and fits:
+        consts = _frontend_constants_radix4(cfg)
+        kernel = _make_kernel_radix4(cfg, p_rows, passes, dtype)
+        scratch_w = cfg.fft_n
+    elif cfg.fft_n % (2 * _LANE) == 0 and fits:
         consts = _frontend_constants_radix2(cfg)
         kernel = _make_kernel_radix2(cfg, p_rows, passes, dtype)
         scratch_w = cfg.fft_n
