@@ -10,27 +10,31 @@ Per (utterance, frame-tile) program:
   1. slice ``TILE_T + p`` rows of the pre-emphasized signal, pre-reshaped
      host-side to ``(rows, frame_step)`` — frame t is rows t..t+p-1, so
      framing is p cheap sublane slices (no gather at all) — and
-     lane-concatenate the p row-groups into a ``(TILE_T, p*step)`` VMEM
-     scratch (three static lane-offset stores; cheap VPU relayout);
-  2. ONE fused windowed-DFT GEMM of the concatenated frames against
-     ``[C | S]`` (the Hamming window is folded into the basis,
-     ``ops/spectral.py``): a *split-bf16* product — operands split into
-     bf16 hi/lo parts in VMEM, accumulated over 3 MXU passes (relative
-     error ~2^-18 — vs 6 passes for XLA's float32-faithful HIGHEST;
-     ``passes=6`` selects a three-way split with f32 fidelity). A single
-     K = p*step (480 -> 4 full MXU K-tiles) contraction replaces the
-     earlier per-row-group accumulation, whose K=160 groups filled only
-     160/256 of the MXU's K tiles — measured 1.17 -> 0.96 ms. The im
-     columns for bin 0 (DC) and bin ``fft_n/2`` (Nyquist) are
-     identically zero for real input, so they are DROPPED from the
-     basis: the fused output is ``2*kf - 2`` wide — exactly 512 lanes
-     for the standard 512-pt rFFT instead of 514 padded to 640;
-  3. power spectrum via ``o*o`` and a lane roll (im_k lives ``kf - 1``
-     lanes after re_k in the packed output; an iota mask zeroes the two
-     lanes where the rotation wraps garbage onto DC/Nyquist);
-  4. mel energies and total frame energy in one small GEMM whose last
-     column is the all-ones energy reducer; filterbank rows past the real
-     fft bins are zero, so the roll's wrap-around garbage is annihilated.
+     lane-concatenate the p row-groups into a VMEM scratch (static
+     lane-offset stores; cheap VPU relayout);
+  2. the windowed DFT as *split-bf16* GEMMs (operands split into bf16
+     hi/lo parts, accumulated over 3 MXU passes — relative error ~2^-18;
+     ``passes=6`` is f32-faithful), through a radix ladder picked by
+     lane-tile divisibility:
+       - **radix-4** (fft_n % 512 == 0, the production case): two
+         exact-f32 butterfly levels, then four quarter-size GEMMs (one
+         real rFFT_Q + three complex DFT_Q sharing one basis) — 56%
+         fewer DFT flops than direct, and the dominant cancellation
+         happens before quantization so quiet-frame error drops ~1000x;
+       - **radix-2** (fft_n % 256 == 0): one butterfly level, two
+         half-size GEMMs;
+       - **direct** (everything else): one K = p*step contraction
+         against the window-folded ``[C | S]`` basis with the
+         always-zero DC/Nyquist im columns dropped (packed 2*kf-2
+         lanes);
+  3. power spectrum via ``o*o`` and lane rolls (each packed block keeps
+     im_k a fixed lane offset after re_k; iota masks zero the wrap
+     lanes);
+  4. mel energies and total frame energy in one small GEMM over the
+     bin-PERMUTED filterbank (the radix interleave is a host-side row
+     permutation of a constant — no device-side reorder exists), whose
+     last column is the all-ones energy reducer; rows off the valid bins
+     are zero, annihilating every roll's wrap-around garbage.
 
 The dB / DCT / delta epilogue stays in XLA (``models/mfcc.py``): it is
 (T, 40)-sized, fuses fine, and keeps this kernel output-format agnostic.
