@@ -351,7 +351,7 @@ def measure_baseline(trials: int = 11) -> dict:
     }
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--trials", type=int, default=DEFAULT_TRIALS)
     ap.add_argument("--reps", type=int, default=TPU_REPS)
@@ -360,7 +360,7 @@ def main():
         action="store_true",
         help="re-measure the CPU reference baseline instead of benching the TPU",
     )
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     if args.measure_baseline:
         print(json.dumps({"baseline_audio_s_per_s": measure_baseline()}))

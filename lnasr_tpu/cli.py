@@ -259,7 +259,7 @@ def _cmd_recognize(args) -> int:
 def _cmd_bench(args) -> int:
     import bench
 
-    bench.main()
+    bench.main([])  # the CLI's own argv must not leak into bench's parser
     return 0
 
 
