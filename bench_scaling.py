@@ -175,13 +175,14 @@ def run_mp(device_counts, batch: int, t_frames: int, steps: int):
         jax.block_until_ready(loglik)
         dt = (time.perf_counter() - t0) / steps
         if t1 is None:
-            t1 = dt
+            t1, n1 = dt, n  # baseline = first measured count
         rows.append({
             "model_axis": n,
             "components_per_device": cfg.n_mix // n,
             "step_seconds": round(dt, 6),
-            # strong scaling: total work fixed, ideal is t(n) = t(1)/n
-            "strong_scaling_efficiency": round(t1 / (n * dt), 3),
+            # strong scaling vs the first measured count: total work
+            # fixed, ideal is t(n) = t(n1) * n1 / n
+            "strong_scaling_efficiency": round((n1 * t1) / (n * dt), 3),
             # cross-'model' traffic per sequence: the distributed
             # logsumexp exchanges (T, N) partials, + the O(N) weight
             # normalizer in the M-step

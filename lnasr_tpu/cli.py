@@ -28,8 +28,9 @@ def _cmd_mfcc(args) -> int:
     from lnasr_tpu.models.mfcc import MFCC
     from lnasr_tpu.utils.audio import read_audio
 
-    audio, _ = read_audio(args.input)
-    cfg = MFCCConfig(spectrum_method=args.spectrum)
+    cfg = MFCCConfig(spectrum_method=args.spectrum,
+                     sample_rate=args.sample_rate)
+    audio, _ = read_audio(args.input, cfg.sample_rate)
     feats = np.asarray(MFCC(cfg)(audio).features)
     np.save(args.output, feats)
     print(f"{args.input}: {len(audio) / cfg.sample_rate:.2f}s -> {feats.shape} "
@@ -42,9 +43,13 @@ def _cmd_vad(args) -> int:
     from lnasr_tpu.utils.audio import read_audio
     from lnasr_tpu.vad.native import AmrWbVad, WebRtcVad
 
-    audio, _ = read_audio(args.input)
+    sr = args.sample_rate
+    if args.detector == "amrwb" and sr != 16000:
+        print("error: the AMR-WB detector is 16 kHz-only", file=sys.stderr)
+        return 2
+    audio, _ = read_audio(args.input, sr)
     if args.detector == "webrtc":
-        vad = WebRtcVad(mode=args.mode)
+        vad = WebRtcVad(mode=args.mode, sample_rate=sr)
         flags = vad.process(audio)
         frame = vad.FRAME_LEN
     else:
@@ -52,7 +57,7 @@ def _cmd_vad(args) -> int:
         flags, _ = vad.process(audio)
         frame = vad.FRAME_LEN
     for a, b in segment_speech(flags, frame):
-        print(f"speech\t{a / 16000:.2f}\t{b / 16000:.2f}")
+        print(f"speech\t{a / sr:.2f}\t{b / sr:.2f}")
     return 0
 
 
@@ -95,10 +100,10 @@ def _cmd_lm_ppl(args) -> int:
     return 0
 
 
-def _read_audio(path: str) -> np.ndarray:
+def _read_audio(path: str, sample_rate: int = 16000) -> np.ndarray:
     from lnasr_tpu.utils.audio import read_audio
 
-    return read_audio(path)[0]
+    return read_audio(path, sample_rate)[0]
 
 
 def _cmd_train_am(args) -> int:
@@ -112,7 +117,8 @@ def _cmd_train_am(args) -> int:
     from lnasr_tpu.config import GMMHMMConfig, MFCCConfig
     from lnasr_tpu.models.recognizer import AcousticModel, train_unit_models
 
-    mfcc_cfg = MFCCConfig(energy_floor=1e-10, mean_norm=args.mean_norm)
+    mfcc_cfg = MFCCConfig(energy_floor=1e-10, mean_norm=args.mean_norm,
+                          sample_rate=args.sample_rate)
     am_cfg = GMMHMMConfig(n_states=args.states, n_mix=args.mix,
                           dim=mfcc_cfg.feature_dim)
     dtype = jnp.float64 if args.f64 else jnp.float32
@@ -125,7 +131,9 @@ def _cmd_train_am(args) -> int:
             if not line:
                 continue
             unit, path = line.split(None, 1)
-            feats = np.asarray(am.mfcc(_read_audio(path.strip())).features)
+            feats = np.asarray(
+                am.mfcc(_read_audio(path.strip(), args.sample_rate)).features
+            )
             examples.setdefault(unit, []).append(feats)
     if not examples:
         print(f"no examples in {args.manifest}", file=sys.stderr)
@@ -148,6 +156,7 @@ def _cmd_train_am(args) -> int:
             "n_states": args.states, "n_mix": args.mix,
             "dim": mfcc_cfg.feature_dim, "mean_norm": args.mean_norm,
             "energy_floor": mfcc_cfg.energy_floor,
+            "sample_rate": mfcc_cfg.sample_rate,
             "dtype": "float64" if args.f64 else "float32",
         }, fp, indent=2)
     n_ex = sum(len(v) for v in examples.values())
@@ -166,7 +175,8 @@ def _load_am(directory: str):
     with open(f"{directory}/am_config.json", encoding="utf-8") as fp:
         meta = json.load(fp)
     mfcc_cfg = MFCCConfig(energy_floor=meta["energy_floor"],
-                          mean_norm=meta["mean_norm"])
+                          mean_norm=meta["mean_norm"],
+                          sample_rate=meta.get("sample_rate", 16000))
     am_cfg = GMMHMMConfig(n_states=meta["n_states"], n_mix=meta["n_mix"],
                           dim=meta["dim"])
     dtype = jnp.float64 if meta["dtype"] == "float64" else jnp.float32
@@ -182,19 +192,28 @@ def _cmd_recognize(args) -> int:
     from lnasr_tpu.utils.metrics import wer_details
 
     am = _load_am(args.am)
+    sr = am.mfcc.config.sample_rate  # the AM owns the pipeline rate
     lexicon = Lexicon.load(args.lex)
     lm = LanguageModel(args.lm) if args.lm else None
     vad = None
     if args.vad == "webrtc":
         from lnasr_tpu.vad.native import WebRtcVad
 
-        vad = WebRtcVad(mode=args.vad_mode)
+        vad = WebRtcVad(mode=args.vad_mode, sample_rate=sr)
     elif args.vad == "amrwb":
         from lnasr_tpu.vad.native import AmrWbVad
 
+        if sr != 16000:
+            print("error: the AMR-WB detector is 16 kHz-only but the "
+                  f"acoustic model was trained at {sr} Hz", file=sys.stderr)
+            return 2
         vad = AmrWbVad()
     graph = args.graph
     if args.nbest > 1 or args.rescore_lm or args.confidence:
+        if args.word_times:
+            print("note: --word-times applies to the 1-best decode path "
+                  "and is ignored with --nbest/--rescore-lm/--confidence",
+                  file=sys.stderr)
         # lattices (N-best / rescoring / confidence) live on the factored
         # search; reject or redirect the other graphs explicitly
         if graph == "trigram":
@@ -220,7 +239,7 @@ def _cmd_recognize(args) -> int:
             word_insertion_penalty=args.word_penalty,
         ),
     )
-    audio = _read_audio(args.audio)
+    audio = _read_audio(args.audio, sr)
     if args.nbest > 1 or args.rescore_lm or args.confidence:
         rescore = LanguageModel(args.rescore_lm) if args.rescore_lm else None
         seg_lists = rec.recognize_nbest(audio, n=args.nbest,
@@ -270,12 +289,14 @@ def main(argv=None) -> int:
     p = sub.add_parser("mfcc", help="extract MFCC features")
     p.add_argument("input"), p.add_argument("output")
     p.add_argument("--spectrum", choices=["matmul", "fft"], default="matmul")
+    p.add_argument("--sample-rate", type=int, default=16000)
     p.set_defaults(fn=_cmd_mfcc)
 
     p = sub.add_parser("vad", help="voice activity segments")
     p.add_argument("input")
     p.add_argument("--detector", choices=["webrtc", "amrwb"], default="webrtc")
     p.add_argument("--mode", type=int, default=0)
+    p.add_argument("--sample-rate", type=int, default=16000)
     p.set_defaults(fn=_cmd_vad)
 
     p = sub.add_parser("train-seg", help="train the word segmenter")
@@ -305,6 +326,10 @@ def main(argv=None) -> int:
                    help="per-utterance cepstral mean subtraction (off by "
                         "default: connected decoding must match isolated "
                         "training features)")
+    p.add_argument("--sample-rate", type=int, default=16000,
+                   help="pipeline rate: audio is resampled to this on "
+                        "ingest, features and decoding use it, and it is "
+                        "recorded in the model directory")
     p.add_argument("--checkpoint-every", type=int, default=0,
                    help="save training state every K EM iterations; a "
                         "re-run of the same command resumes from the last "

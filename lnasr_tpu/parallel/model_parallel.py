@@ -114,8 +114,8 @@ def make_mp_gmmhmm_em_step(mesh: Mesh, config: GMMHMMConfig) -> Callable:
                                     config.var_floor)
     if mesh.shape["model"] > 1 and config.n_mix % mesh.shape["model"]:
         raise ValueError(
-            f"n_mix={config.n_mix} must divide the model axis "
-            f"({mesh.shape['model']})"
+            f"the model axis size ({mesh.shape['model']}) must divide "
+            f"n_mix={config.n_mix}"
         )
 
     def emissions_fn(p, obs, ct):

@@ -281,11 +281,33 @@ def read_audio(filename: str, sample_rate: int = SAMPLE_RATE) -> Tuple[np.ndarra
         return _finish(np.asarray(data, np.float64), 1, sr, sample_rate)
     except ImportError:
         pass
-    raise ValueError(
-        f"{filename}: unrecognized audio container. Natively supported: "
-        "WAV (PCM/float), AIFF/AIFC, Sun AU, raw .pcm/.raw; install "
-        "soundfile or librosa for compressed formats (mp3/flac/ogg)."
+    if len(magic) >= 2 and _looks_compressed(magic):
+        raise ValueError(
+            f"{filename}: unrecognized audio container. Natively "
+            "supported: WAV (PCM/float), AIFF/AIFC, Sun AU, raw "
+            ".pcm/.raw; install soundfile or librosa for compressed "
+            "formats (mp3/flac/ogg)."
+        )
+    # headerless file with no compressed-container signature: treat as
+    # the reference's raw-PCM convention (16-bit LE at sample_rate) —
+    # the behavior every non-.wav input had before magic dispatch
+    import warnings
+
+    warnings.warn(
+        f"{filename}: no recognized container; assuming headerless "
+        "16-bit little-endian PCM (the reference's raw convention)",
+        stacklevel=2,
     )
+    return read_pcm(filename), sample_rate
+
+
+def _looks_compressed(magic: bytes) -> bool:
+    """Signatures of common compressed audio containers we cannot decode
+    natively — these must error loudly rather than be misread as PCM."""
+    if magic[:3] == b"ID3" or magic[:2] in (b"\xff\xfb", b"\xff\xf3",
+                                            b"\xff\xf2", b"\xff\xf1"):
+        return True  # mp3 / aac
+    return magic[:4] in (b"fLaC", b"OggS") or magic[4:8] == b"ftyp"  # m4a
 
 
 def write_wave(filename: str, data: np.ndarray, sample_rate: int = SAMPLE_RATE) -> None:

@@ -122,6 +122,11 @@ class AmrWbVad:
     wrapper (``third/pyvad/pyvad.pyx:27-38``)."""
 
     FRAME_LEN = 256
+    # AMR-WB is a 16 kHz codec by specification; advertising the rate
+    # lets the recognizer's rate-mismatch guard catch an 8/32/48 kHz
+    # acoustic model being paired with this detector (review finding:
+    # the getattr-based guard silently skipped it)
+    sample_rate = 16000
 
     def __init__(self):
         self._lib = _load()

@@ -151,3 +151,72 @@ def test_cli_recognize_confidence(cli_models, capsys):
     confs = [float(c) for c in re.findall(r"\((\d\.\d+)\)", out.err)]
     assert confs and all(0.0 <= c <= 1.0 for c in confs)
     assert len(confs) >= len(out.out.split())
+
+
+def test_cli_8khz_train_and_recognize_roundtrip(tmp_path, capsys):
+    """Review finding: the CLI read every input at 16 kHz regardless of
+    the model's rate. An 8 kHz --sample-rate train-am + recognize
+    roundtrip must carry the rate through ingest, am_config.json, the
+    VAD guard, and decoding."""
+    import json
+
+    sr = 8000
+    rng = np.random.default_rng(11)
+
+    def tone(f0, dur=0.4):
+        # harmonic burst (not a pure sine): gives the left-to-right
+        # states distinct spectra so no state starves in training
+        t = np.arange(int(sr * dur)) / sr
+        sig = sum(np.sin(2 * np.pi * k * f0 * t) / k for k in (1, 2, 3))
+        x = (sig * np.hanning(len(t)) * 0.3
+             + rng.normal(0, 0.01, len(t))) * 12000
+        return np.clip(x, -32768, 32767).astype(np.int16)
+
+    lines = []
+    for name, f0 in (("lo", 300.0), ("hi", 1100.0)):
+        for k in range(4):
+            p = tmp_path / f"{name}{k}.pcm"
+            write_pcm(str(p), tone(f0 * (1 + 0.01 * rng.normal())))
+            lines.append(f"{name}\t{p}")
+    manifest = tmp_path / "m.txt"
+    manifest.write_text("\n".join(lines) + "\n")
+
+    am = str(tmp_path / "am8k")
+    assert cli_main(["train-am", str(manifest), am, "--states", "3",
+                     "--mix", "1", "--iters", "5",
+                     "--sample-rate", str(sr)]) == 0
+    meta = json.loads(open(f"{am}/am_config.json").read())
+    assert meta["sample_rate"] == sr
+
+    lex = tmp_path / "w.lex"
+    lex.write_text("lo lo\nhi hi\n")
+    for truth, f0 in (("hi", 1100.0), ("lo", 300.0)):
+        utt = tmp_path / f"utt_{truth}.pcm"
+        write_pcm(str(utt), tone(f0))
+        assert cli_main(["recognize", str(utt), "--am", am,
+                         "--lex", str(lex)]) == 0
+        assert capsys.readouterr().out.strip().split()[-1] == truth
+
+    # the 16 kHz-only AMR-WB detector must be rejected for an 8 kHz model
+    assert cli_main(["recognize", str(utt), "--am", am, "--lex", str(lex),
+                     "--vad", "amrwb"]) == 2  # utt is the last one written
+    assert "16 kHz-only" in capsys.readouterr().err
+
+
+def test_read_audio_headerless_fallback(tmp_path, capsys):
+    """Extensionless headerless files fall back to the reference's raw
+    16-bit PCM convention (with a warning) instead of erroring — the
+    pre-magic-dispatch CLI behavior; compressed signatures still error."""
+    import warnings
+
+    from lnasr_tpu.utils.audio import read_audio
+
+    raw = tmp_path / "capture.s16"
+    data = (np.sin(np.arange(4000) * 0.05) * 10000).astype("<i2")
+    data.tofile(str(raw))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        audio, rate = read_audio(str(raw))
+    assert rate == 16000
+    np.testing.assert_array_equal(audio, data)
+    assert any("headerless" in str(x.message) for x in w)

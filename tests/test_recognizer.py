@@ -346,7 +346,11 @@ def test_word_time_alignment(trained_recognizer):
     constructed utterance must come back with spans overlapping their
     true audio windows, in monotonic order, for all three graphs'
     path_to_alignment and through recognize_segments(word_times=True)."""
-    rec, rng = trained_recognizer
+    rec, _ = trained_recognizer
+    # own deterministic stream: drawing from the module fixture's shared
+    # rng made this test's INPUT depend on which tests ran before it
+    # (order-dependent failure caught in review)
+    rng = np.random.default_rng(99)
     gap = 0.3
     truth = ["low", "high", "mid"]
     parts = [_gap(rng, gap)]
