@@ -1,0 +1,186 @@
+#!/usr/bin/env python3
+"""Streaming-latency benchmark: p50/p99 per-segment decode latency, RTF,
+and retained-buffer bound for ``StreamingRecognizer`` on a looped REAL
+speech fixture.
+
+The streaming path is the reason the serving layer exists, but no round
+artifact recorded its latency (round-3 verdict #6). This bench:
+
+1. VAD-segments the reference's real 12.6 s recording into a word
+   inventory and trains per-word GMM-HMMs (in-process, same protocol as
+   ``examples/real_audio_demo.py``);
+2. builds a shape-bucketed ``Recognizer`` (``bucket_frames`` keeps the
+   jit compile count at a handful regardless of segment lengths — a live
+   stream must not compile per segment) and wraps it in a
+   ``StreamingRecognizer``;
+3. feeds ``--minutes`` (default 5) of stream in 100 ms chunks — the
+   fixture looped with fresh augmentation per pass so no two segments
+   are identical — after one warm-up pass for compilation;
+4. reports per-segment decode latency (p50 / p95 / p99 / max), stream
+   RTF, and the maximum retained buffer (the bounded-memory contract).
+
+Runs on the default JAX device: on TPU each segment decode pays the
+real dispatch round trip — that IS the serving latency on this
+deployment. Writes ``STREAM_r{N}.json`` with ``--out``.
+"""
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SR = 16000
+FIXTURE = "/root/reference/test/third/data-vad.raw"
+CHUNK = 1600  # 100 ms feed granularity
+
+
+def build_recognizer():
+    import jax.numpy as jnp
+
+    from lnasr_tpu.config import GMMHMMConfig, MFCCConfig
+    from lnasr_tpu.models.lexicon import Lexicon
+    from lnasr_tpu.models.recognizer import (
+        AcousticModel,
+        Recognizer,
+        segment_speech,
+        train_unit_models,
+    )
+    from lnasr_tpu.utils.audio import read_pcm
+    from lnasr_tpu.vad.native import WebRtcVad
+
+    rng = np.random.default_rng(0)
+    audio = read_pcm(FIXTURE)
+
+    vad = WebRtcVad(mode=0)
+    flags = vad.process(audio)
+    segs = segment_speech(flags, vad.FRAME_LEN, min_gap_frames=12,
+                          min_len_frames=8, pad_frames=2)
+    words = [audio[a:b] for a, b in segs if (b - a) / SR >= 0.2]
+    gaps = [audio[segs[-1][1]:]] if segs else [audio[:SR]]
+
+    def augment(x):
+        y = x.astype(np.float64) * rng.uniform(0.8, 1.2)
+        rms = np.sqrt(np.mean(y**2)) / (10.0 ** (rng.uniform(18, 30) / 20.0))
+        y = y + rng.normal(0.0, rms, len(y))
+        return np.clip(y, -32768, 32767).astype(np.int16)
+
+    mfcc_cfg = MFCCConfig(energy_floor=1e-10, mean_norm=False)
+    am = AcousticModel(mfcc_config=mfcc_cfg, dtype=jnp.float32)
+    examples = {
+        f"w{i}": [np.asarray(am.mfcc.features_fast(augment(w))[0])
+                  for _ in range(4)]
+        for i, w in enumerate(words)
+    }
+    examples["<sil>"] = [
+        np.asarray(am.mfcc.features_fast(augment(g))[0]) for g in gaps * 3
+    ]
+    cfg = GMMHMMConfig(n_states=6, n_mix=2, dim=mfcc_cfg.feature_dim)
+    am.units = train_unit_models(examples, cfg, iters=5)
+    lex = Lexicon({f"w{i}": [f"w{i}"] for i in range(len(words))})
+    rec = Recognizer(am, lex, bucket_frames=128)
+    return rec, audio, augment
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--minutes", type=float, default=5.0)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args(argv)
+
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/lnasr_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
+
+    from lnasr_tpu.models.recognizer import StreamingRecognizer
+
+    t0 = time.perf_counter()
+    rec, audio, augment = build_recognizer()
+    print(f"# recognizer built in {time.perf_counter() - t0:.1f}s "
+          f"({len(rec.am.units)} units)", file=sys.stderr)
+
+    latencies = []
+
+    class InstrumentedStream(StreamingRecognizer):
+        def _cut_segment(self, start_f, end_f):
+            seg = super()._cut_segment(start_f, end_f)
+            if seg is not None:
+                latencies.append(self.stats.last_latency_s)
+            return seg
+
+    stream = InstrumentedStream(rec)
+
+    # warm-up: compile every plausible bucket size (segments here run
+    # 0.2-5 s; buckets are 1.28 s) plus one full streaming pass, so the
+    # timed region contains zero compilation
+    bucket_samples = rec.bucket_frames * rec.am.mfcc.config.frame_step
+    for k in range(1, 6):
+        rec.decode_segment(np.zeros(k * bucket_samples - CHUNK, np.int16))
+    for off in range(0, len(audio) - CHUNK, CHUNK):
+        stream.process(audio[off : off + CHUNK])
+    stream.flush()
+    n_warm = len(latencies)
+    print(f"# warm-up: {n_warm} segments", file=sys.stderr)
+
+    stream.reset()
+    latencies.clear()
+    max_buffer = 0
+    need_s = args.minutes * 60.0
+    wall0 = time.perf_counter()
+    while stream.stats.audio_seconds < need_s:
+        # fresh augmentation per pass: no two segments are bit-identical
+        loop_audio = augment(audio)
+        for off in range(0, len(loop_audio) - CHUNK, CHUNK):
+            stream.process(loop_audio[off : off + CHUNK])
+            max_buffer = max(max_buffer, stream.stats.buffer_samples)
+    stream.flush()
+    wall = time.perf_counter() - wall0
+
+    st = stream.stats
+    lat = sorted(latencies)
+
+    def pct(p):
+        return lat[min(len(lat) - 1, int(p / 100.0 * len(lat)))]
+
+    out = {
+        "metric": "streaming per-segment decode latency (looped real fixture)",
+        "value": round(pct(50) * 1000, 3),
+        "unit": "ms (p50)",
+        "segments": st.segments,
+        "audio_seconds": round(st.audio_seconds, 1),
+        "latency_ms": {
+            "p50": round(pct(50) * 1000, 3),
+            "p95": round(pct(95) * 1000, 3),
+            "p99": round(pct(99) * 1000, 3),
+            "max": round(lat[-1] * 1000, 3),
+            "mean": round(statistics.mean(lat) * 1000, 3),
+        },
+        "rtf": round(st.rtf, 5),
+        "wall_rtf": round(wall / st.audio_seconds, 5),
+        "max_buffer_samples": int(max_buffer),
+        "max_buffer_seconds": round(max_buffer / SR, 3),
+        "bucket_frames": rec.bucket_frames,
+        "chunk_ms": CHUNK * 1000 // SR,
+        "device": jax.devices()[0].device_kind,
+    }
+    line = json.dumps(out)
+    if args.out:
+        with open(args.out, "w", encoding="utf-8") as fp:
+            fp.write(line + "\n")
+    print(line)
+    # the stream must keep up (RTF << 1) and memory must stay bounded
+    return 0 if st.rtf < 0.5 and max_buffer < 30 * SR else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -29,9 +29,11 @@ def _cmd_mfcc(args) -> int:
     from lnasr_tpu.utils.audio import read_audio
 
     cfg = MFCCConfig(spectrum_method=args.spectrum,
-                     sample_rate=args.sample_rate)
+                     sample_rate=args.sample_rate,
+                     frontend=args.frontend,
+                     fused_passes=args.fused_passes)
     audio, _ = read_audio(args.input, cfg.sample_rate)
-    feats = np.asarray(MFCC(cfg)(audio).features)
+    feats = np.asarray(MFCC(cfg).features_fast(audio)[0])
     np.save(args.output, feats)
     print(f"{args.input}: {len(audio) / cfg.sample_rate:.2f}s -> {feats.shape} "
           f"features -> {args.output}")
@@ -290,6 +292,13 @@ def main(argv=None) -> int:
     p.add_argument("input"), p.add_argument("output")
     p.add_argument("--spectrum", choices=["matmul", "fft"], default="matmul")
     p.add_argument("--sample-rate", type=int, default=16000)
+    p.add_argument("--frontend", choices=["auto", "fused", "xla"],
+                   default="auto",
+                   help="auto rides the fused Pallas kernel on TPU, "
+                        "XLA elsewhere")
+    p.add_argument("--fused-passes", type=int, choices=[3, 6], default=6,
+                   help="split-bf16 MXU passes of the fused DFT: 6 is "
+                        "f32-faithful (default), 3 is the fast setting")
     p.set_defaults(fn=_cmd_mfcc)
 
     p = sub.add_parser("vad", help="voice activity segments")

@@ -23,6 +23,19 @@ class MFCCConfig:
       - ``"matmul"``: GEMM-native windowed DFT (two MXU matmuls) — the fast
         TPU path; numerically equal to the FFT path up to float rounding.
       - ``"fft"``: ``jnp.fft.rfft`` via the XLA FFT op.
+
+    ``frontend`` selects the serving-path implementation used by
+    :meth:`lnasr_tpu.models.mfcc.MFCC.features_fast` (and through it the
+    recognizer and CLI):
+      - ``"auto"``: the fused Pallas frontend on TPU backends, the XLA
+        pipeline everywhere else;
+      - ``"fused"``: always the Pallas kernel (interpret mode off-TPU —
+        slow; for tests);
+      - ``"xla"``: always the XLA pipeline.
+    ``fused_passes`` is the split-bf16 MXU pass count of the fused DFT:
+    6 (default) is f32-faithful — same pass count XLA issues for a
+    HIGHEST-precision f32 matmul — and 3 is the fast benchmark setting
+    (~2^-18 relative DFT error, visible only on near-silent frames).
     """
 
     sample_rate: int = 16000
@@ -33,6 +46,8 @@ class MFCCConfig:
     n_mels: int = 40
     n_ceps: int = 12
     spectrum_method: str = "matmul"
+    frontend: str = "auto"
+    fused_passes: int = 6
     # Replicate the reference's delta assembly exactly (its first delta row
     # duplicates the *second* feature row, ``lnasr/mfcc.py:162-172``).
     # "standard" uses delta[0] = features[1] - features[0] instead.

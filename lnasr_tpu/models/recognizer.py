@@ -76,7 +76,15 @@ class AcousticModel:
             model.save(os.path.join(directory, f"{unit}.hdf5"))
 
     def features(self, audio) -> np.ndarray:
-        return np.asarray(self.mfcc(np.asarray(audio)).features)
+        """Serving-path features for one utterance: rides the fused Pallas
+        frontend on TPU (``MFCC.features_fast``), XLA elsewhere."""
+        feats, _ = self.mfcc.features_fast(np.asarray(audio))
+        return np.asarray(feats)
+
+    def features_batch(self, signals, lengths=None):
+        """Batched serving-path features: ``(B, S)`` -> ``((B, T, D),
+        mask)`` through the same fused-frontend dispatch."""
+        return self.mfcc.features_fast(signals, lengths)
 
 
 class LanguageModel:
