@@ -124,7 +124,7 @@ def bench_factored_decode(vocab: int, n_frames: int, dim: int = 8,
         t_kern = None
         best = t_scan
     audio_s = n_frames * 0.010
-    return {
+    row = {
         "metric": f"composed-graph decode throughput "
                   f"({vocab}-word lexicon, {vocab * n_states} states)",
         "value": round(audio_s / best, 2),
@@ -133,6 +133,57 @@ def bench_factored_decode(vocab: int, n_frames: int, dim: int = 8,
         "scan_decode_seconds": round(t_scan, 4),
         "pallas_decode_seconds": None if t_kern is None else round(t_kern, 4),
         "backend": jax.default_backend(),
+    }
+    if t_kern is not None:
+        row["sol"] = _factored_sol(vocab, n_frames, t_kern)
+    return row
+
+
+# v5e peaks for the decode-kernel roofline. The VPU figure is the
+# (8, 128)-lane unit at ~0.94 GHz x 4 ops issued per lane-cycle — an
+# estimate consistent with public per-chip specs; the MXU/HBM numbers
+# match bench.py's table.
+_VPU_ELEMOPS = 3.85e12
+_MXU_FLOPS = 197e12
+_HBM_BPS = 819e9
+
+
+def _factored_sol(vocab: int, n_frames: int, seconds: float) -> dict:
+    """Per-frame work accounting for the fused factored decode kernel
+    (forward + in-kernel backtrace), vs chip peaks.
+
+    VPU: the (V,V) hop add+max dominates (2*V_pad^2), plus the (S,S,V)
+    within-word max-plus, exit-row reduce and emission add, plus the
+    backtrace's masked selects. MXU: the chunked exact relayout — one
+    single-pass (128, 384) x (384, 128-padded) product per 128-lane
+    chunk. HBM: emissions in, trellis grids out (forward) and back in
+    (backtrace; the overlapped prev-block read doubles it)."""
+    v_pad = max(128, -(-vocab // 128) * 128)
+    s_pad = 8
+    fwd_vpu = (2 * v_pad * v_pad          # hop entry add+max
+               + 2 * s_pad * s_pad * v_pad  # within max-plus
+               + 2 * 2 * s_pad * v_pad)     # exit row + emission add
+    bwd_vpu = (2 * 2 * s_pad * v_pad      # masked within cand + exit row
+               + 3 * v_pad)               # hop row add/max/argmin
+    vpu_ops = n_frames * (fwd_vpu + bwd_vpu)
+    mxu = n_frames * (v_pad // 128) * 2 * 128 * 384 * 128  # relayout
+    hbm = n_frames * (3 * s_pad * v_pad * 4   # grids: write + ~2x read
+                      + s_pad * v_pad * 4)    # emissions read
+    t_vpu = vpu_ops / _VPU_ELEMOPS
+    t_mxu = mxu / _MXU_FLOPS
+    t_hbm = hbm / _HBM_BPS
+    floor = max(t_vpu, t_mxu, t_hbm)
+    limiter = {t_vpu: "vpu", t_mxu: "mxu", t_hbm: "hbm"}[floor]
+    return {
+        "vpu_elemops": vpu_ops,
+        "mxu_flops": mxu,
+        "hbm_bytes": hbm,
+        "t_floor_s": {"vpu": round(t_vpu, 6), "mxu": round(t_mxu, 6),
+                      "hbm": round(t_hbm, 6)},
+        "limiter": limiter,
+        "pct_sol": round(100.0 * floor / seconds, 2),
+        "peaks": {"vpu_elemops_per_s": _VPU_ELEMOPS,
+                  "mxu_flops_per_s": _MXU_FLOPS, "hbm_bytes_per_s": _HBM_BPS},
     }
 
 
@@ -180,7 +231,7 @@ def bench_dense_kernel(n: int, t_len: int, repeats: int = 5) -> dict:
     else:
         t_kern, identical = float("nan"), None
 
-    return {
+    row = {
         "metric": f"dense Pallas Viterbi vs lax.scan (N={n}, T={t_len})",
         "value": round(t_scan / t_kern, 2) if on_tpu else None,
         "unit": "x speedup over scan",
@@ -189,6 +240,21 @@ def bench_dense_kernel(n: int, t_len: int, repeats: int = 5) -> dict:
         "paths_bit_identical": identical,
         "backend": jax.default_backend(),
     }
+    if on_tpu:
+        n_pad = max(128, -(-n // 128) * 128)
+        # fwd: (N,N) cand add + sublane max + 2 exact relayouts; back:
+        # O(N) equality scan per step
+        vpu = t_len * (2 * n_pad * n_pad + 6 * n_pad)
+        mxu = t_len * 2 * (n_pad // 128) * 2 * 128 * 384 * 128
+        hbm = t_len * 2 * n_pad * 4  # emissions in, max rows kept in VMEM
+        t_vpu, t_mxu, t_hbm = vpu / _VPU_ELEMOPS, mxu / _MXU_FLOPS, hbm / _HBM_BPS
+        floor = max(t_vpu, t_mxu, t_hbm)
+        row["sol"] = {
+            "vpu_elemops": vpu, "mxu_flops": mxu, "hbm_bytes": hbm,
+            "limiter": {t_vpu: "vpu", t_mxu: "mxu", t_hbm: "hbm"}[floor],
+            "pct_sol": round(100.0 * floor / t_kern, 2),
+        }
+    return row
 
 
 def main(argv=None) -> int:

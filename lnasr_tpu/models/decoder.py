@@ -184,7 +184,8 @@ class DecodingGraph:
         """Compose the dense graph.
 
         ``unit_models`` maps each pronunciation unit to a trained
-        :class:`GMMHMM` (all sharing mixture count and covariance type).
+        :class:`GMMHMM` (sharing covariance type and feature dim;
+        mixture counts may differ per unit — padded internally).
         ``lm`` must be at least a bigram model; when absent, word
         transitions are unweighted.
 
@@ -202,7 +203,6 @@ class DecodingGraph:
             lexicon[cls.SILENCE] = (cls.SILENCE,)
             unit_models[cls.SILENCE] = silence_model
         some_model = next(iter(unit_models.values()))
-        m_mix, dim = some_model.m, some_model.d
         cov_type = some_model.config.cov_type
 
         # per-word concatenated state metadata
@@ -226,10 +226,14 @@ class DecodingGraph:
         word_start[np.asarray(word_first)] = True
         word_end[np.asarray(word_last)] = True
 
-        # emissions: stack per-state mixture parameters
-        log_w = np.concatenate([np.asarray(m.log_w, np.float64) for _, m, _ in blocks])
-        mu = np.concatenate([np.asarray(m.mu, np.float64) for _, m, _ in blocks])
-        cov = np.concatenate([np.asarray(m.cov, np.float64) for _, m, _ in blocks])
+        # emissions: stack per-state mixture parameters (mixture counts may
+        # differ per unit; padded to the largest M)
+        log_w, mu, cov = _stack_mixture_params(
+            [np.asarray(m.log_w, np.float64) for _, m, _ in blocks],
+            [np.asarray(m.mu, np.float64) for _, m, _ in blocks],
+            [np.asarray(m.cov, np.float64) for _, m, _ in blocks],
+            cov_type,
+        )
 
         # transitions
         log_a = np.full((n_states, n_states), -np.inf)
@@ -408,12 +412,41 @@ def _compose_words(
         blocks.append(block)
         state_offsets.append(offset)
         offset += s_w
-    emission_params = (
-        np.concatenate(log_w_parts),
-        np.concatenate(mu_parts),
-        np.concatenate(cov_parts),
+    cov_type = next(iter(unit_models.values())).config.cov_type
+    emission_params = _stack_mixture_params(
+        log_w_parts, mu_parts, cov_parts, cov_type
     )
     return words, blocks, emission_params, state_offsets
+
+
+def _stack_mixture_params(log_w_parts, mu_parts, cov_parts, cov_type):
+    """Stack per-unit ``(N_i, M_i[, D, ...])`` mixture parameters along the
+    state axis, padding the mixture axis to the largest ``M`` with
+    log-weight ``-inf`` dummy components (zero mean, unit variance /
+    identity covariance — finite under the scorer, annihilated by the
+    weight). Units may therefore use different mixture counts — e.g. a
+    stationary few-state/many-mixture silence model next to left-to-right
+    word models."""
+    m_max = max(w.shape[1] for w in log_w_parts)
+    ws, ms, cs = [], [], []
+    for w, mu, cov in zip(log_w_parts, mu_parts, cov_parts):
+        pad = m_max - w.shape[1]
+        if pad:
+            w = np.pad(w, ((0, 0), (0, pad)), constant_values=-np.inf)
+            mu = np.pad(mu, ((0, 0), (0, pad), (0, 0)))
+            if cov_type == "diag":
+                cov = np.pad(cov, ((0, 0), (0, pad), (0, 0)),
+                             constant_values=1.0)
+            else:
+                d = cov.shape[-1]
+                eye = np.broadcast_to(
+                    np.eye(d), (cov.shape[0], pad, d, d)
+                )
+                cov = np.concatenate([cov, eye], axis=1)
+        ws.append(w)
+        ms.append(mu)
+        cs.append(cov)
+    return np.concatenate(ws), np.concatenate(ms), np.concatenate(cs)
 
 
 def _factored_grid_inputs(obs, log_pi_w, log_final_w, exit_idx, state_map,
@@ -697,6 +730,7 @@ class FactoredDecodingGraph:
         every feasible state)."""
         from lnasr_tpu.ops.factored_pallas import (
             factored_backtrace,
+            factored_decode_pallas,
             factored_forward_pallas,
         )
 
@@ -708,6 +742,14 @@ class FactoredDecodingGraph:
                 obs, log_pi_w, log_final_w, exit_idx, state_map, pad_mask,
                 log_w, mu, cov, cov_type,
             )
+            if hop is not None:
+                # fused forward + in-kernel backtrace: the XLA backtrace
+                # scan was 25.6 of the 28.9 ms 1k-word decode (round-4
+                # stage timing)
+                return factored_decode_pallas(
+                    pi_grid, inner_a, exit_idx, hop, log_b, final_grid,
+                    mask,
+                )
             vgrids = factored_forward_pallas(
                 pi_grid, inner_a, exit_idx, hop, log_b, mask
             )

@@ -40,7 +40,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from lnasr_tpu.ops.trellis_pallas import NEG, _LANES
+from lnasr_tpu.ops.trellis_pallas import (
+    NEG,
+    _LANES,
+    relayout_eye3,
+    row_to_col_split3,
+)
 
 _SUB = 8
 _TC = 16  # frames per grid step
@@ -75,15 +80,11 @@ def _fwd_kernel(pi_ref, at_ref, exitm_ref, hop_ref, eye_ref, logb_ref,
             if has_hop:
                 exit_row = jnp.max(vg + exitm_ref[:, :], axis=0,
                                    keepdims=True)  # (1, V)
-                # lane->sublane relayout as an exact identity matmul (the
-                # TPU default would round through bf16 and break bitwise
-                # replay; HIGHEST passes f32 through exactly)
-                exit_col = jax.lax.dot_general(
-                    eye_ref[:, :], exit_row,
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=dtype,
-                    precision=jax.lax.Precision.HIGHEST,
-                )  # (V, 1)
+                # lane->sublane relayout, bitwise exact (a plain-bf16
+                # matmul would round the values and break the bitwise
+                # replay backtrace; a HIGHEST (V,V) identity costs ~16x
+                # the MXU issue — measured as the kernel's top cost)
+                exit_col = row_to_col_split3(eye_ref, exit_row, dtype)  # (V, 1)
                 # one fused (V, V) add + full-axis max (a chunked fori_loop
                 # here ran slower than the lax.scan decoder: 128 tiny loop
                 # iterations starve the VPU)
@@ -113,21 +114,16 @@ def _pad(x, target: int, axis: int):
     return jnp.pad(x, widths, constant_values=NEG)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def factored_forward_pallas(
-    pi_grid: jax.Array,  # (V, S) initial log-probs (NEG/-inf padded)
-    inner_a: jax.Array,  # (V, S, S)
-    exit_idx: jax.Array,  # (V,) int32
-    hop: Optional[jax.Array],  # (V, V) or None (loop=False)
-    log_b_grid: jax.Array,  # (T, V, S) emissions on the grid
-    mask: Optional[jax.Array] = None,  # (T,) valid frames
-    interpret: bool = False,
-) -> jax.Array:
-    """All trellis grids ``(T, V, S)`` of the factored search — bitwise
-    equal (max-plus is exactly associative) to the ``lax.scan`` carry in
-    :meth:`FactoredDecodingGraph._decode_fn` at every feasible state."""
+def _prep_forward_inputs(pi_grid, inner_a, exit_idx, hop, log_b_grid, mask):
+    """Padded kernel-layout operands shared by the forward and fused
+    decode entry points. Returns a dict of arrays plus the padded dims."""
     t_len, v_words, s_max = log_b_grid.shape
     dtype = log_b_grid.dtype
+    if dtype != jnp.float32:
+        # the exact-relayout decomposition (3 bf16 parts) covers exactly
+        # the 24-bit f32 significand; wider dtypes would lose bits and
+        # break the bitwise-replay backtrace
+        raise ValueError(f"factored Pallas decode requires float32, got {dtype}")
     v_pad = max(_LANES, -(-v_words // _LANES) * _LANES)
     t_pad = -(-t_len // _TC) * _TC
 
@@ -135,7 +131,7 @@ def factored_forward_pallas(
     at = jnp.transpose(
         _pad(_pad(_pad(_finite(inner_a, dtype), v_pad, 0), _SUB, 1), _SUB, 2),
         (1, 2, 0),
-    )  # (S, S, V)
+    )  # (S, S, V): at[s, j, v] = inner_a[v, s, j]
     exitm = jnp.where(
         jnp.arange(_SUB)[:, None] == _pad_idx(exit_idx, v_pad)[None, :],
         0.0, NEG,
@@ -144,7 +140,9 @@ def factored_forward_pallas(
         hop_p = _pad(_pad(_finite(hop, dtype), v_pad, 0), v_pad, 1)
     else:
         hop_p = jnp.full((_SUB, v_pad), NEG, dtype)  # unused placeholder
-    eye = jnp.eye(v_pad, dtype=dtype)
+    # [I|I|I] (128, 384) block for the chunked exact relayout (one
+    # single-pass MXU product per 128-lane chunk)
+    eye = relayout_eye3(dtype)
     lb = jnp.transpose(
         _pad(_pad(_finite(log_b_grid, dtype), v_pad, 1), _SUB, 2), (0, 2, 1)
     )
@@ -154,9 +152,17 @@ def factored_forward_pallas(
     m = (jnp.ones((t_len,), jnp.int32) if mask is None
          else jnp.asarray(mask, jnp.int32))
     m = jnp.pad(m, (0, t_pad - t_len))  # T-padding frames are masked too
+    return dict(pi=pi, at=at, exitm=exitm, hop_p=hop_p, eye=eye, lb=lb, m=m,
+                t_len=t_len, t_pad=t_pad, v_pad=v_pad, v_words=v_words,
+                s_max=s_max, dtype=dtype)
 
-    out = pl.pallas_call(
-        functools.partial(_fwd_kernel, has_hop=hop is not None),
+
+def _forward_raw(prep, has_hop, interpret):
+    """The forward pallas_call on padded operands; returns the raw
+    ``(t_pad, _SUB, v_pad)`` grid buffer (kernel layout)."""
+    t_pad, v_pad, dtype = prep["t_pad"], prep["v_pad"], prep["dtype"]
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, has_hop=has_hop),
         grid=(t_pad // _TC,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # pi
@@ -171,8 +177,166 @@ def factored_forward_pallas(
         out_shape=jax.ShapeDtypeStruct((t_pad, _SUB, v_pad), dtype),
         scratch_shapes=[pltpu.VMEM((_SUB, v_pad), dtype)],
         interpret=interpret,
-    )(pi, at, exitm, hop_p, eye, lb, m)
-    return jnp.transpose(out[:t_len, :s_max, :v_words], (0, 2, 1))
+    )(prep["pi"], prep["at"], prep["exitm"], prep["hop_p"], prep["eye"],
+      prep["lb"], prep["m"])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def factored_forward_pallas(
+    pi_grid: jax.Array,  # (V, S) initial log-probs (NEG/-inf padded)
+    inner_a: jax.Array,  # (V, S, S)
+    exit_idx: jax.Array,  # (V,) int32
+    hop: Optional[jax.Array],  # (V, V) or None (loop=False)
+    log_b_grid: jax.Array,  # (T, V, S) emissions on the grid
+    mask: Optional[jax.Array] = None,  # (T,) valid frames
+    interpret: bool = False,
+) -> jax.Array:
+    """All trellis grids ``(T, V, S)`` of the factored search — bitwise
+    equal (max-plus is exactly associative) to the ``lax.scan`` carry in
+    :meth:`FactoredDecodingGraph._decode_fn` at every feasible state."""
+    prep = _prep_forward_inputs(pi_grid, inner_a, exit_idx, hop, log_b_grid,
+                                mask)
+    out = _forward_raw(prep, hop is not None, interpret)
+    return jnp.transpose(
+        out[: prep["t_len"], : prep["s_max"], : prep["v_words"]], (0, 2, 1)
+    )
+
+
+def _bwd_kernel(vg_cur_ref, vg_prev_ref, atb_ref, exitm_ref, hop_t_ref,
+                eidx_ref, final_ref, mask_ref, path_ref, score_ref,
+                state_ref, *, t_len: int, s_max: int, n_blocks: int):
+    """In-kernel backtrace over the stored (reverse-blocked) grids.
+
+    Replays the SAME argmax rules as the XLA :func:`factored_backtrace`
+    (first-max ties within a word, first-word ties on hops, strict
+    ``hop > within`` preference at local state 0, masked frames
+    self-point), so the path is bit-identical — but the whole traceback
+    is one sequential in-VMEM loop instead of a T-step XLA scan with
+    per-step dispatch (measured 25.6 of the 28.9 ms 1k-word decode).
+
+    Layouts: vg blocks (TC, S, V); atb (S_j, S_from, V) with
+    ``atb[j, s, v] = inner_a[v, s, j]``; hop_t (V_to, V_from) =
+    ``hop.T``; eidx (1, V) int32 exit-state indices; final (S, V);
+    mask (T_pad,) int32 in SMEM. Outputs: path (TC, 128) int32 blocks
+    (column 0), score (1, 1) SMEM. state scratch: SMEM (1,) int32.
+    """
+    tc, s_pad, v_pad = vg_cur_ref.shape
+    i = pl.program_id(0)
+    rev_b = n_blocks - 1 - i
+    b0 = rev_b * tc
+    big = jnp.int32(v_pad * s_max + s_max)
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, v_pad), 1)
+    lane2 = jax.lax.broadcasted_iota(jnp.int32, (s_pad, v_pad), 1)
+    sub2 = jax.lax.broadcasted_iota(jnp.int32, (s_pad, v_pad), 0)
+
+    def frame(k, _):
+        t = b0 + (tc - 1 - k)
+        lt = t - b0
+
+        @pl.when(t == t_len - 1)
+        def _():
+            vals = vg_cur_ref[lt] + final_ref[:, :]
+            best = jnp.max(vals)
+            score_ref[0, 0] = best
+            lin = lane2 * s_max + sub2  # flat (v*S + s) ids, XLA argmax order
+            state_ref[0] = jnp.min(jnp.where(vals == best, lin, big))
+
+        @pl.when(t < t_len)
+        def _():
+            state = state_ref[0]
+            path_ref[lt, :] = jnp.broadcast_to(state, (path_ref.shape[1],))
+
+            @pl.when(t >= 1)
+            def _():
+                lp = lt - 1
+                lpc = jnp.maximum(lp, 0)
+                vprev = jnp.where(
+                    lp >= 0, vg_cur_ref[lpc], vg_prev_ref[tc - 1]
+                )  # (S, V)
+                v_w = state // s_max
+                j = state % s_max
+                atb_j = atb_ref[pl.ds(j, 1)][0]  # (S_from, V)
+                cand = jnp.where(lane2 == v_w, vprev + atb_j, NEG)
+                m_val = jnp.max(cand)
+                pred_s = jnp.min(jnp.where(cand == m_val, sub2, big))
+                pred = v_w * s_max + pred_s
+
+                exit_row = jnp.max(vprev + exitm_ref[:, :], axis=0,
+                                   keepdims=True)  # (1, V) word exit scores
+                hop_row = hop_t_ref[pl.ds(v_w, 1), :]  # (1, V): hop[:, v_w]
+                hop_cand = exit_row + hop_row
+                hmax = jnp.max(hop_cand)
+                esrc = jnp.min(jnp.where(hop_cand == hmax, lane1, big))
+                exit_s = jnp.sum(
+                    jnp.where(lane1 == esrc, eidx_ref[:, :], 0),
+                    dtype=jnp.int32,
+                )
+                use_hop = (j == 0) & (hmax > m_val)
+                pred = jnp.where(use_hop, esrc * s_max + exit_s, pred)
+                valid = mask_ref[t] > 0
+                state_ref[0] = jnp.where(valid, pred, state)
+
+        return 0
+
+    jax.lax.fori_loop(0, tc, frame, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def factored_decode_pallas(
+    pi_grid: jax.Array,
+    inner_a: jax.Array,
+    exit_idx: jax.Array,
+    hop: jax.Array,  # (V, V); the kernel backtrace requires a hop matrix
+    log_b_grid: jax.Array,
+    log_final_grid: jax.Array,  # (V, S)
+    mask: Optional[jax.Array] = None,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Fused forward + backtrace, both as Pallas kernels: ``(path (T,)
+    int32 in v*S+s ids, score)`` — bit-identical to
+    :func:`factored_forward_pallas` + :func:`factored_backtrace` but
+    without the T-step XLA backtrace scan (which dominated decode time)
+    and without materializing the sliced/transposed grids in between."""
+    prep = _prep_forward_inputs(pi_grid, inner_a, exit_idx, hop, log_b_grid,
+                                mask)
+    t_len, t_pad = prep["t_len"], prep["t_pad"]
+    v_pad, s_max, dtype = prep["v_pad"], prep["s_max"], prep["dtype"]
+    vgrids = _forward_raw(prep, True, interpret)
+
+    atb = jnp.transpose(prep["at"], (1, 0, 2))  # (S_j, S_from, V)
+    hop_t = jnp.transpose(prep["hop_p"])  # (V_to, V_from)
+    eidx = jnp.maximum(_pad_idx(exit_idx, v_pad), 0)[None, :]  # (1, V) i32
+    fin = _pad(_pad(_finite(log_final_grid, dtype), v_pad, 0).T, _SUB, 0)
+
+    n_blocks = t_pad // _TC
+    path, score = pl.pallas_call(
+        functools.partial(_bwd_kernel, t_len=t_len, s_max=s_max,
+                          n_blocks=n_blocks),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((_TC, _SUB, v_pad),
+                         lambda b: (n_blocks - 1 - b, 0, 0)),
+            pl.BlockSpec((_TC, _SUB, v_pad),
+                         lambda b: (jnp.maximum(n_blocks - 2 - b, 0), 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # atb
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # exitm
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # hop_t
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # exit idx
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # final
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # mask
+        ],
+        out_specs=[
+            pl.BlockSpec((_TC, _LANES), lambda b: (n_blocks - 1 - b, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_pad, _LANES), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), dtype),
+        ],
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+        interpret=interpret,
+    )(vgrids, vgrids, atb, prep["exitm"], hop_t, eidx, fin, prep["m"])
+    return path[:t_len, 0], score[0, 0]
 
 
 def _pad_idx(exit_idx, v_pad):
@@ -229,10 +393,11 @@ def factored_backtrace(
 def factored_pallas_ok(t_len: int, v_words: int,
                        vmem_budget: int = 13 * 1024 * 1024,
                        hbm_budget: int = 2 * 1024**3) -> bool:
-    """Whether the kernel's resident graph (hop + eye + blocks) fits VMEM
-    and the stored grids fit a sane HBM budget."""
+    """Whether the kernel's resident graph (hop + blocks; the relayout
+    identity is a fixed 128x128) fits VMEM and the stored grids fit a
+    sane HBM budget."""
     v_pad = max(_LANES, -(-v_words // _LANES) * _LANES)
-    vmem = (2 * v_pad * v_pad + _SUB * _SUB * v_pad + 3 * _SUB * v_pad
-            + 2 * _TC * _SUB * v_pad) * 4
+    vmem = (v_pad * v_pad + _SUB * _SUB * v_pad + 3 * _SUB * v_pad
+            + 2 * _TC * _SUB * v_pad) * 4 + _LANES * _LANES * 2
     hbm = (-(-t_len // _TC) * _TC) * _SUB * v_pad * 4
     return vmem <= vmem_budget and hbm <= hbm_budget

@@ -157,6 +157,50 @@ def viterbi_pallas(
     return jnp.transpose(path)[:b], score[0, :b]
 
 
+def relayout_eye3(dtype=jnp.float32):
+    """The ``[I | I | I]`` (128, 384) constant for
+    :func:`row_to_col_split3`."""
+    eye = np.eye(_LANES, dtype=np.float32)
+    return jnp.asarray(np.concatenate([eye, eye, eye], axis=1), dtype)
+
+
+def row_to_col_split3(eye3_ref, row, dtype):
+    """Bitwise-exact lane->sublane relayout of a ``(1, N)`` f32 row to an
+    ``(N, 1)`` column: per 128-lane chunk, ONE single-pass matmul of the
+    ``[I | I | I]`` (128, 384) identity block against the chunk's three
+    bf16 value parts.
+
+    An f32 value is EXACTLY the sum of 3 bf16 parts (8 significand bits
+    each, non-overlapping after exact f32 remainders); each part is
+    bf16-representable, so the DEFAULT (single bf16 pass) matmul rounds
+    them to themselves and the MXU's f32 accumulator reassembles the
+    value exactly. Total issue: N/128 (128,384,128)-tile products —
+    ~16x less MXU work than the previous (N,N) HIGHEST identity product
+    (6 bf16 passes over N K-tiles), which measured as the dense and
+    factored kernels' dominant per-frame cost."""
+    n = row.shape[1]
+    parts = []
+    rem = row
+    for _ in range(3):
+        p = rem.astype(jnp.bfloat16).astype(dtype)
+        rem = rem - p
+        parts.append(p)
+    cols = []
+    for c in range(n // _LANES):
+        rhs = jnp.concatenate(
+            [p[:, c * _LANES : (c + 1) * _LANES] for p in parts], axis=1
+        )  # (1, 3*128)
+        cols.append(
+            jax.lax.dot_general(
+                eye3_ref[:, :], rhs,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=dtype,
+                precision=jax.lax.Precision.DEFAULT,
+            )
+        )
+    return jnp.concatenate(cols, axis=0)  # (N, 1)
+
+
 def _viterbi_dense_kernel(log_pi_ref, log_a_ref, log_at_ref, log_b_ref,
                           log_final_ref, eye_ref, path_ref, score_ref,
                           v_ref, m_ref):
@@ -188,17 +232,11 @@ def _viterbi_dense_kernel(log_pi_ref, log_a_ref, log_at_ref, log_b_ref,
     dtype = log_a_ref.dtype
     lanes = path_ref.shape[1]
 
-    def to_col(row):  # (1, N) -> (N, 1) via MXU: out[i, 0] = sum_j I[i,j] row[0,j]
-        # HIGHEST precision is required for bitwise pass-through: the TPU
-        # default lowers f32 matmuls to single-pass bf16, which would both
+    def to_col(row):  # (1, N) -> (N, 1), bitwise-exact chunked relayout
+        # exactness is required: a plain single-pass bf16 matmul would
         # perturb the trellis and break the backtrace's exact-replay
-        # equality (observed on hardware as sentinel states in the path).
-        return jax.lax.dot_general(
-            eye_ref[:, :], row,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=dtype,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        # equality (observed on hardware as sentinel states in the path)
+        return row_to_col_split3(eye_ref, row, dtype)
 
     m_ref[0] = log_pi_ref[:, :]
     v_ref[:, :] = to_col(log_pi_ref[:, :] + log_b_ref[0])
@@ -249,6 +287,10 @@ def viterbi_pallas_dense(
     """
     t_len, n = log_b.shape
     dtype = log_b.dtype
+    if dtype != jnp.float32:
+        # the exact chunked relayout decomposes values into 3 bf16 parts,
+        # which covers exactly the 24-bit f32 significand
+        raise ValueError(f"viterbi_pallas_dense requires float32, got {dtype}")
     n_pad = max(_LANES, -(-n // _LANES) * _LANES)
 
     def finite(x):
@@ -263,7 +305,9 @@ def viterbi_pallas_dense(
     lb = _pad_to(finite(log_b), n_pad, 1, NEG)[:, None, :]  # (T, 1, N)
     fin = jnp.zeros((n,), dtype) if log_final is None else finite(log_final)
     fin_p = _pad_to(fin[None, :], n_pad, 1, NEG)
-    eye = jnp.eye(n_pad, dtype=dtype)
+    # [I|I|I] (128, 384) block for the chunked exact relayout (one
+    # single-pass MXU product per 128-lane chunk)
+    eye = relayout_eye3(dtype)
 
     path, score = pl.pallas_call(
         _viterbi_dense_kernel,
@@ -289,9 +333,11 @@ def viterbi_dense_vmem_ok(
     t_len: int, n: int, budget_bytes: int = 12 * 1024 * 1024
 ) -> bool:
     """Whether the dense kernel's working set (emissions + trellis max rows
-    + A, A^T, and identity matrices + path) fits the VMEM budget."""
+    + A and A^T matrices + path; the relayout identity is a fixed 128x128)
+    fits the VMEM budget."""
     n_pad = max(_LANES, -(-n // _LANES) * _LANES)
-    need = t_len * n_pad * 4 * 2 + 3 * n_pad * n_pad * 4 + t_len * 128 * 4
+    need = (t_len * n_pad * 4 * 2 + 2 * n_pad * n_pad * 4
+            + t_len * 128 * 4 + _LANES * _LANES * 2)
     return need <= budget_bytes
 
 

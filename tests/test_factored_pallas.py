@@ -159,4 +159,59 @@ def test_kernel_masked_equals_unpadded():
 
 def test_budget_guard():
     assert factored_pallas_ok(2000, 1000)
-    assert not factored_pallas_ok(2000, 4000)  # hop+eye exceed VMEM
+    assert not factored_pallas_ok(2000, 4000)  # hop exceeds VMEM
+
+
+def _fused_decode(graph, obs, mask=None):
+    from lnasr_tpu.ops.factored_pallas import factored_decode_pallas
+
+    log_b, pi_grid, final_grid = _grid_inputs(graph, obs)
+    return factored_decode_pallas(
+        pi_grid, graph.inner_a, graph.exit_idx, graph.hop, log_b,
+        final_grid, None if mask is None else jnp.asarray(mask),
+        interpret=True,
+    )
+
+
+@pytest.mark.parametrize(
+    "v,t,mixed", [(5, 19, True), (12, 40, False), (130, 17, True)]
+)
+def test_fused_decode_matches_scan(v, t, mixed):
+    """The in-kernel backtrace (factored_decode_pallas) must reproduce the
+    scan decoder's path BITWISE — same first-max ties, same strict
+    hop-vs-within rule."""
+    graph, rng = _graph(v, mixed_lengths=mixed, seed=v)
+    obs = rng.normal(scale=8.0, size=(t, 5)).astype(np.float32)
+    path_f, score_f = _fused_decode(graph, obs)
+    path_s, score_s = _scan_decode(graph, obs)
+    np.testing.assert_array_equal(np.asarray(path_f), np.asarray(path_s))
+    assert float(score_f) == float(score_s)
+
+
+def test_fused_decode_masked():
+    graph, rng = _graph(9, mixed_lengths=True, seed=21)
+    obs = rng.normal(scale=8.0, size=(23, 5)).astype(np.float32)
+    obs_pad = np.concatenate(
+        [obs, rng.normal(size=(9, 5)).astype(np.float32)]
+    )
+    mask = np.arange(32) < 23
+    ref_path, ref_score = _scan_decode(graph, obs)
+    path, score = _fused_decode(graph, obs_pad, mask)
+    np.testing.assert_array_equal(np.asarray(path)[:23], np.asarray(ref_path))
+    assert np.all(np.asarray(path)[23:] == np.asarray(path)[22])
+    assert float(score) == float(ref_score)
+
+
+def test_fused_decode_planted_sequence():
+    graph, rng = _graph(8, seed=11)
+    mu = np.asarray(graph.mu)
+    seq_words = ["w002", "w005", "w000"]
+    frames = []
+    for w in seq_words:
+        wi = graph.words.index(w)
+        for s in range(int(np.asarray(graph.exit_idx)[wi]) + 1):
+            row = int(np.asarray(graph.state_map)[wi, s])
+            frames += [mu[row, 0] + rng.normal(scale=0.05, size=5)] * 3
+    path, score = _fused_decode(graph, np.asarray(frames, np.float32))
+    assert graph._path_to_words(np.asarray(path)) == seq_words
+    assert np.isfinite(float(score))

@@ -118,3 +118,42 @@ def test_factored_forward_kernel_lowers():
     np.testing.assert_array_equal(
         np.asarray(grids[-1]), np.asarray(grids[-7])
     )
+
+
+def test_fused_factored_decode_lowers_and_matches_xla_backtrace():
+    """The in-kernel backtrace (reverse-blocked grid + SMEM state carry)
+    must lower AND match the XLA backtrace path bit-for-bit on hardware."""
+    from lnasr_tpu.ops.factored_pallas import (
+        factored_backtrace,
+        factored_decode_pallas,
+        factored_forward_pallas,
+    )
+
+    rng = _rng()
+    v, s, t = 20, 3, 40
+    pi = np.full((v, s), -1e30, np.float32)
+    pi[:, 0] = np.log(1.0 / v)
+    inner = np.full((v, s, s), -1e30, np.float32)
+    for j in range(s):
+        inner[:, j, j] = np.log(0.5)
+        if j + 1 < s:
+            inner[:, j, j + 1] = np.log(0.5)
+    exit_idx = np.full(v, s - 1, np.int64)
+    hop = rng.normal(size=(v, v)).astype(np.float32) - 2.0
+    log_b = rng.normal(size=(t, v, s)).astype(np.float32)
+    fin = np.where(rng.random((v, s)) < 0.5, 0.0, -np.inf).astype(np.float32)
+
+    vg = factored_forward_pallas(
+        jnp.asarray(pi), jnp.asarray(inner), jnp.asarray(exit_idx),
+        jnp.asarray(hop), jnp.asarray(log_b),
+    )
+    ref_path, ref_score = factored_backtrace(
+        vg, jnp.asarray(inner), jnp.asarray(exit_idx), jnp.asarray(hop),
+        jnp.asarray(fin),
+    )
+    path, score = factored_decode_pallas(
+        jnp.asarray(pi), jnp.asarray(inner), jnp.asarray(exit_idx),
+        jnp.asarray(hop), jnp.asarray(log_b), jnp.asarray(fin),
+    )
+    np.testing.assert_array_equal(np.asarray(path), np.asarray(ref_path))
+    assert float(score) == float(ref_score)
