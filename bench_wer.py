@@ -4,11 +4,19 @@ speech fixtures, recorded as ``WER_r{N}.json`` next to ``BENCH_r{N}.json``
 so accuracy regressions are as visible as throughput regressions
 (BASELINE.md's acceptance bar is *WER-matching decode*, not just speed).
 
-Runs the fixed-seed connected-word protocol from
-``examples/real_audio_demo.py`` (VAD-segment the reference recordings
-``/root/reference/test/third/data-vad.raw`` + ``test/data.raw`` into a
-real-speech vocabulary, train per-word GMM-HMMs through the public CLI,
-decode held-out connected utterances) and writes the full report.
+Runs the fixed-seed connected-word protocol v2 from
+``examples/real_audio_demo.py`` (15+ word real-speech vocabulary, 20
+test utterances / 100+ reference words, clean / 20 dB / 10 dB SNR
+conditions) and writes the full per-condition report.
+
+The GATE has real failure probability (round-3 verdict: the v1 bar
+``wer <= 0.5`` on 10 reference words could not fail):
+
+- if the previous round's artifact used the same protocol version, FAIL
+  on regression: clean WER worse than previous + 0.05 absolute, or the
+  10 dB WER worse than previous + 0.10;
+- otherwise (first round on this protocol) FAIL above the absolute
+  bring-up bar: clean WER must be <= 0.25.
 
 JAX is pinned to CPU for this artifact: the protocol is deterministic
 there (fixed seed 0), so any change in the recorded WER is a code
@@ -33,6 +41,10 @@ sys.path.insert(0, REPO)
 # pin before any jax import (the demo's CLI subprocesses inherit env)
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
+CLEAN_TOL = 0.05  # allowed round-to-round clean-WER regression
+NOISY_TOL = 0.10  # allowed 10 dB-WER regression
+BRINGUP_BAR = 0.25  # absolute clean bar when no comparable previous round
+
 
 def infer_round() -> int:
     rounds = [
@@ -43,24 +55,69 @@ def infer_round() -> int:
     return (max(rounds) + 1) if rounds else 1
 
 
+def previous_report(this_round: int):
+    """Latest WER_r{k}.json with k < this_round, if any."""
+    best = None
+    for p in glob.glob(os.path.join(REPO, "WER_r*.json")):
+        m = re.search(r"WER_r(\d+)\.json$", p)
+        if m and int(m.group(1)) < this_round:
+            if best is None or int(m.group(1)) > best[0]:
+                best = (int(m.group(1)), p)
+    if best is None:
+        return None
+    with open(best[1], encoding="utf-8") as fp:
+        return json.load(fp)
+
+
+def gate(report: dict, prev) -> (bool, str):
+    clean = report["conditions"]["clean"]["wer"]
+    noisy = report["conditions"]["snr10"]["wer"]
+    if prev is not None and prev.get("protocol_version") == report["protocol_version"]:
+        pc = prev["conditions"]["clean"]["wer"]
+        pn = prev["conditions"]["snr10"]["wer"]
+        if clean > pc + CLEAN_TOL:
+            return False, (f"clean WER regressed: {clean:.3f} > "
+                           f"{pc:.3f} + {CLEAN_TOL}")
+        if noisy > pn + NOISY_TOL:
+            return False, (f"10 dB WER regressed: {noisy:.3f} > "
+                           f"{pn:.3f} + {NOISY_TOL}")
+        return True, (f"clean {clean:.3f} (prev {pc:.3f}), "
+                      f"10 dB {noisy:.3f} (prev {pn:.3f})")
+    if clean > BRINGUP_BAR:
+        return False, f"clean WER {clean:.3f} > bring-up bar {BRINGUP_BAR}"
+    return True, f"clean {clean:.3f} <= bring-up bar {BRINGUP_BAR} (no comparable previous round)"
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None, help="output JSON path")
     args = ap.parse_args()
-    out_path = args.out or os.path.join(REPO, f"WER_r{infer_round():02d}.json")
+    this_round = infer_round()
+    out_path = args.out or os.path.join(REPO, f"WER_r{this_round:02d}.json")
 
     from examples import real_audio_demo
 
-    wer = real_audio_demo.main()
+    real_audio_demo.main()
     report = dict(real_audio_demo.main.last_report)
-    report["metric"] = "WER (real-audio connected-word e2e, fixed seed)"
+    report["metric"] = ("WER (real-audio connected-word e2e, fixed seed; "
+                        "clean / 20 dB / 10 dB SNR)")
     report["value"] = report["wer"]
+
+    prev = previous_report(this_round)
+    ok, why = gate(report, prev)
+    report["gate"] = {"pass": ok, "detail": why,
+                      "clean_tol": CLEAN_TOL, "noisy_tol": NOISY_TOL,
+                      "bringup_bar": BRINGUP_BAR}
     with open(out_path, "w") as fp:
         json.dump(report, fp, indent=1)
     print(f"\nwrote {out_path}")
-    print(json.dumps({"metric": report["metric"], "value": wer,
-                      "unit": "WER", "n_ref_words": report["n_ref_words"]}))
-    return 0 if wer <= 0.5 else 1
+    print(json.dumps({
+        "metric": report["metric"], "value": report["wer"], "unit": "WER",
+        "conditions": {k: v["wer"] for k, v in report["conditions"].items()},
+        "n_ref_words": report["n_ref_words"],
+        "gate": report["gate"],
+    }))
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":

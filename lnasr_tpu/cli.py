@@ -149,9 +149,15 @@ def _cmd_train_am(args) -> int:
         train_cfg = TrainConfig(max_iters=args.iters,
                                 checkpoint_every=args.checkpoint_every,
                                 checkpoint_dir=ckpt_dir)
+    # silence is stationary: a few-state/many-mixture topology instead of
+    # the words' left-to-right one (an LTR silence model grows starved
+    # middle states that price silence out of the decoding graph)
+    sil_cfg = GMMHMMConfig(n_states=args.sil_states, n_mix=args.sil_mix,
+                           dim=mfcc_cfg.feature_dim)
     am.units = train_unit_models(examples, am_cfg, iters=args.iters,
                                  dtype=dtype, verbose=True,
-                                 train_config=train_cfg)
+                                 train_config=train_cfg,
+                                 unit_configs={"<sil>": sil_cfg})
     am.save(args.output)
     with open(f"{args.output}/am_config.json", "w", encoding="utf-8") as fp:
         json.dump({
@@ -330,6 +336,12 @@ def main(argv=None) -> int:
     p.add_argument("manifest"), p.add_argument("output")
     p.add_argument("--states", type=int, default=3)
     p.add_argument("--mix", type=int, default=2)
+    p.add_argument("--sil-states", type=int, default=3,
+                   help="states for the '<sil>' unit (silence is "
+                        "stationary; keep this small)")
+    p.add_argument("--sil-mix", type=int, default=4,
+                   help="mixtures for the '<sil>' unit (covers varied "
+                        "noise conditions)")
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--mean-norm", action="store_true",
                    help="per-utterance cepstral mean subtraction (off by "

@@ -518,10 +518,19 @@ def train_unit_models(
     dtype=jnp.float32,
     verbose: bool = False,
     train_config=None,
+    unit_configs: Optional[Mapping[str, GMMHMMConfig]] = None,
 ) -> Dict[str, GMMHMM]:
     """Isolated-unit training: for each unit, left-to-right init from its
     examples and batched Baum-Welch over all of them (padded to the longest
     with masks — the data-parallel EM path).
+
+    ``unit_configs`` overrides the topology per unit — most importantly
+    for ``"<sil>"``: silence is stationary, so a few-state/many-mixture
+    model fits it far better than the words' left-to-right topology (an
+    8-state LTR silence model grows starved middle states that the
+    decoding graph must traverse, which priced silence out of the search
+    entirely in round-4 bring-up). The decoding graphs accept units with
+    different state/mixture counts.
 
     ``train_config`` (a :class:`~lnasr_tpu.config.TrainConfig`) enables
     periodic checkpoint/resume: each unit checkpoints under
@@ -531,11 +540,12 @@ def train_unit_models(
     """
     models: Dict[str, GMMHMM] = {}
     for i, (unit, obs_list) in enumerate(sorted(examples.items())):
-        model = GMMHMM(config, dtype=dtype)
+        unit_config = (unit_configs or {}).get(unit, config)
+        model = GMMHMM(unit_config, dtype=dtype)
         all_frames = np.concatenate([np.asarray(o) for o in obs_list], axis=0)
         model.init_left_to_right(all_frames, jax.random.PRNGKey(seed + i))
         t_max = max(o.shape[0] for o in obs_list)
-        batch = np.zeros((len(obs_list), t_max, config.dim), dtype=np.float64)
+        batch = np.zeros((len(obs_list), t_max, unit_config.dim), dtype=np.float64)
         mask = np.zeros((len(obs_list), t_max), dtype=bool)
         for j, o in enumerate(obs_list):
             batch[j, : o.shape[0]] = o
