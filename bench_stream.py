@@ -73,16 +73,37 @@ def build_recognizer():
 
     mfcc_cfg = MFCCConfig(energy_floor=1e-10, mean_norm=False)
     am = AcousticModel(mfcc_config=mfcc_cfg, dtype=jnp.float32)
-    examples = {
-        f"w{i}": [np.asarray(am.mfcc.features_fast(augment(w))[0])
-                  for _ in range(4)]
-        for i, w in enumerate(words)
-    }
-    examples["<sil>"] = [
-        np.asarray(am.mfcc.features_fast(augment(g))[0]) for g in gaps * 3
-    ]
+
+    # ONE padded batch through the frontend: per-example shapes would each
+    # compile a fresh kernel over the TPU tunnel (minutes apiece)
+    clips, labels = [], []
+    for i, w in enumerate(words):
+        for _ in range(4):
+            clips.append(augment(w))
+            labels.append(f"w{i}")
+    for g in gaps * 3:
+        clips.append(augment(g))
+        labels.append("<sil>")
+    from lnasr_tpu.ops.framing import num_frames
+
+    s_max = max(len(c) for c in clips)
+    batch = np.zeros((len(clips), s_max), np.float32)
+    lengths = np.array([len(c) for c in clips])
+    for i, c in enumerate(clips):
+        batch[i, : len(c)] = c
+    feats, _ = am.features_batch(batch, lengths)
+    feats = np.asarray(feats)
+    examples = {}
+    for i, lab in enumerate(labels):
+        t = num_frames(int(lengths[i]), mfcc_cfg.frame_len,
+                       mfcc_cfg.frame_step)
+        examples.setdefault(lab, []).append(feats[i, :t])
     cfg = GMMHMMConfig(n_states=6, n_mix=2, dim=mfcc_cfg.feature_dim)
-    am.units = train_unit_models(examples, cfg, iters=5)
+    sil_cfg = GMMHMMConfig(n_states=3, n_mix=4, dim=mfcc_cfg.feature_dim)
+    t_pad = max(e.shape[0] for exs in examples.values() for e in exs)
+    am.units = train_unit_models(examples, cfg, iters=5,
+                                 unit_configs={"<sil>": sil_cfg},
+                                 pad_to=t_pad)
     lex = Lexicon({f"w{i}": [f"w{i}"] for i in range(len(words))})
     rec = Recognizer(am, lex, bucket_frames=128)
     return rec, audio, augment

@@ -33,11 +33,57 @@ def _cmd_mfcc(args) -> int:
                      frontend=args.frontend,
                      fused_passes=args.fused_passes)
     audio, _ = read_audio(args.input, cfg.sample_rate)
-    feats = np.asarray(MFCC(cfg).features_fast(audio)[0])
+    mfcc = MFCC(cfg)
+    if args.plot:
+        # per-stage diagnostic figure (the role the reference's
+        # test/mfcc-test.py:22-123 matplotlib cells served) — needs the
+        # power spectrum, so run the XLA path that materializes it
+        res = mfcc(audio)
+        _plot_mfcc(args.plot, audio, res, cfg)
+        feats = np.asarray(res.features)
+    else:
+        feats = np.asarray(mfcc.features_fast(audio)[0])
     np.save(args.output, feats)
     print(f"{args.input}: {len(audio) / cfg.sample_rate:.2f}s -> {feats.shape} "
           f"features -> {args.output}")
+    if args.plot:
+        print(f"per-stage plot -> {args.plot}")
     return 0
+
+
+def _plot_mfcc(path: str, audio, res, cfg) -> None:
+    """Waveform, power spectrogram, mel cepstrum, and final features —
+    the per-stage view for debugging acoustic regressions."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    sr = cfg.sample_rate
+    power = np.asarray(res.power)
+    fig, axes = plt.subplots(4, 1, figsize=(11, 10), constrained_layout=True)
+    t = np.arange(len(audio)) / sr
+    axes[0].plot(t, audio, lw=0.3, color="#336")
+    axes[0].set_title("waveform")
+    axes[0].set_xlim(0, t[-1] if len(t) else 1)
+    db = 10.0 * np.log10(np.maximum(power, 1e-12))
+    im = axes[1].imshow(db.T, origin="lower", aspect="auto", cmap="magma",
+                        extent=[0, power.shape[0], 0, sr / 2 / 1000.0])
+    axes[1].set_title("power spectrum (dB)")
+    axes[1].set_ylabel("kHz")
+    fig.colorbar(im, ax=axes[1], shrink=0.8)
+    im = axes[2].imshow(np.asarray(res.cepstrum).T, origin="lower",
+                        aspect="auto", cmap="viridis")
+    axes[2].set_title(f"mel cepstrum ({cfg.n_mels} filters, DCT)")
+    fig.colorbar(im, ax=axes[2], shrink=0.8)
+    im = axes[3].imshow(np.asarray(res.features).T, origin="lower",
+                        aspect="auto", cmap="coolwarm")
+    axes[3].set_title(f"features ({cfg.feature_dim} dims: cepstra + logE "
+                      "+ delta + delta-delta)")
+    axes[3].set_xlabel("frame")
+    fig.colorbar(im, ax=axes[3], shrink=0.8)
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
 
 
 def _cmd_vad(args) -> int:
@@ -58,9 +104,40 @@ def _cmd_vad(args) -> int:
         vad = AmrWbVad()
         flags, _ = vad.process(audio)
         frame = vad.FRAME_LEN
-    for a, b in segment_speech(flags, frame):
+    segments = segment_speech(flags, frame)
+    for a, b in segments:
         print(f"speech\t{a / sr:.2f}\t{b / sr:.2f}")
+    if args.plot:
+        _plot_vad(args.plot, audio, flags, frame, segments, sr,
+                  args.detector)
+        print(f"decision overlay -> {args.plot}", file=sys.stderr)
     return 0
+
+
+def _plot_vad(path, audio, flags, frame, segments, sr, detector) -> None:
+    """Waveform with the raw per-frame decisions and the smoothed speech
+    segments overlaid (the reference's test/third/vadlstd-test.py:29-38
+    diagnostic view)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(12, 4), constrained_layout=True)
+    t = np.arange(len(audio)) / sr
+    ax.plot(t, audio, lw=0.3, color="#336", label="waveform")
+    peak = float(np.max(np.abs(audio))) or 1.0
+    ft = (np.arange(len(flags)) + 0.5) * frame / sr
+    ax.step(ft, np.asarray(flags, float) * peak, where="mid",
+            color="#c33", lw=0.8, label="frame decision")
+    for i, (a, b) in enumerate(segments):
+        ax.axvspan(a / sr, b / sr, color="#2a2", alpha=0.18,
+                   label="speech segment" if i == 0 else None)
+    ax.set_xlabel("seconds")
+    ax.set_title(f"{detector} VAD decisions")
+    ax.legend(loc="upper right", fontsize=8)
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
 
 
 def _cmd_train_seg(args) -> int:
@@ -305,6 +382,9 @@ def main(argv=None) -> int:
     p.add_argument("--fused-passes", type=int, choices=[3, 6], default=6,
                    help="split-bf16 MXU passes of the fused DFT: 6 is "
                         "f32-faithful (default), 3 is the fast setting")
+    p.add_argument("--plot", default=None, metavar="FILE.png",
+                   help="write a per-stage diagnostic figure (waveform, "
+                        "power spectrum, cepstrum, features)")
     p.set_defaults(fn=_cmd_mfcc)
 
     p = sub.add_parser("vad", help="voice activity segments")
@@ -312,6 +392,9 @@ def main(argv=None) -> int:
     p.add_argument("--detector", choices=["webrtc", "amrwb"], default="webrtc")
     p.add_argument("--mode", type=int, default=0)
     p.add_argument("--sample-rate", type=int, default=16000)
+    p.add_argument("--plot", default=None, metavar="FILE.png",
+                   help="write the waveform with VAD decisions and "
+                        "speech segments overlaid")
     p.set_defaults(fn=_cmd_vad)
 
     p = sub.add_parser("train-seg", help="train the word segmenter")

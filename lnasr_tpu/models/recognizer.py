@@ -519,6 +519,7 @@ def train_unit_models(
     verbose: bool = False,
     train_config=None,
     unit_configs: Optional[Mapping[str, GMMHMMConfig]] = None,
+    pad_to: Optional[int] = None,
 ) -> Dict[str, GMMHMM]:
     """Isolated-unit training: for each unit, left-to-right init from its
     examples and batched Baum-Welch over all of them (padded to the longest
@@ -531,6 +532,12 @@ def train_unit_models(
     decoding graph must traverse, which priced silence out of the search
     entirely in round-4 bring-up). The decoding graphs accept units with
     different state/mixture counts.
+
+    ``pad_to`` pads every unit's example batch to a common frame count so
+    units with equal topology and example counts share ONE compiled EM
+    step — on a remote-TPU deployment each distinct shape otherwise pays
+    its own compile (minutes over a tunnel). Masks keep the padded
+    frames out of the statistics, so results are unchanged.
 
     ``train_config`` (a :class:`~lnasr_tpu.config.TrainConfig`) enables
     periodic checkpoint/resume: each unit checkpoints under
@@ -545,6 +552,12 @@ def train_unit_models(
         all_frames = np.concatenate([np.asarray(o) for o in obs_list], axis=0)
         model.init_left_to_right(all_frames, jax.random.PRNGKey(seed + i))
         t_max = max(o.shape[0] for o in obs_list)
+        if pad_to is not None:
+            if pad_to < t_max:
+                raise ValueError(
+                    f"pad_to={pad_to} < longest example ({t_max} frames)"
+                )
+            t_max = pad_to
         batch = np.zeros((len(obs_list), t_max, unit_config.dim), dtype=np.float64)
         mask = np.zeros((len(obs_list), t_max), dtype=bool)
         for j, o in enumerate(obs_list):

@@ -220,3 +220,25 @@ def test_read_audio_headerless_fallback(tmp_path, capsys):
     assert rate == 16000
     np.testing.assert_array_equal(audio, data)
     assert any("headerless" in str(x.message) for x in w)
+
+
+def test_cli_mfcc_plot(tmp_path, speech_audio):
+    """--plot writes a per-stage diagnostic PNG headlessly."""
+    wav = tmp_path / "in.pcm"
+    write_pcm(str(wav), np.asarray(speech_audio[:16000], np.int16))
+    png = tmp_path / "stages.png"
+    out = tmp_path / "feats.npy"
+    rc = cli_main(["mfcc", str(wav), str(out), "--plot", str(png)])
+    assert rc == 0
+    assert png.stat().st_size > 10_000  # a real rendered figure
+    assert np.load(out).shape[1] == 39
+
+
+def test_cli_vad_plot(tmp_path, vad_audio):
+    """--plot writes the decision-overlay PNG headlessly."""
+    wav = tmp_path / "in.pcm"
+    write_pcm(str(wav), np.asarray(vad_audio, np.int16))
+    png = tmp_path / "vad.png"
+    rc = cli_main(["vad", str(wav), "--plot", str(png)])
+    assert rc == 0
+    assert png.stat().st_size > 10_000
