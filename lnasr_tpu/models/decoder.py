@@ -307,13 +307,20 @@ class DecodingGraph:
         obs = jnp.asarray(features, self.dtype)
         if mask is not None:
             mask = jnp.asarray(mask, bool)
-        path, score = self._decode_fn(
-            obs, mask, self.log_a, self.log_pi, self.log_final,
-            self.log_w, self.mu, self.cov,
-        )
+        path, score = self.decode_arrays(obs, mask)
         path = np.asarray(path)
         words_out = self._path_to_words(path)
         return words_out, path, float(score)
+
+    def decode_arrays(self, obs, mask):
+        """Traceable decode core: ``(feats (T, N_feat), mask) -> (path,
+        score)`` device arrays — composable under an outer ``jit`` (the
+        recognizer fuses the MFCC frontend and this into ONE dispatch
+        per serving call)."""
+        return self._decode_fn(
+            obs, mask, self.log_a, self.log_pi, self.log_final,
+            self.log_w, self.mu, self.cov,
+        )
 
     def path_to_alignment(self, path: np.ndarray,
                           n_frames: Optional[int] = None,
@@ -765,24 +772,30 @@ class FactoredDecodingGraph:
         state path ``word*S + local``, score) with the same word-recovery
         rule as the dense graph. ``mask (T,)`` marks valid frames (padded
         frames act as identity steps — shape-bucketed serving)."""
-        from lnasr_tpu.ops.factored_pallas import factored_pallas_ok
-
         obs = jnp.asarray(features, self.dtype)
         if mask is not None:
             mask = jnp.asarray(mask, bool)
+        path, score = self.decode_arrays(obs, mask)
+        path = np.asarray(path)
+        return self._path_to_words(path), path, float(score)
+
+    def decode_arrays(self, obs, mask):
+        """Traceable decode core (see :meth:`DecodingGraph.decode_arrays`):
+        dispatches to the fused Pallas kernels on TPU when the graph fits
+        VMEM, the scan elsewhere — identical results."""
+        from lnasr_tpu.ops.factored_pallas import factored_pallas_ok
+
         use_kernel = (
             self.dtype == jnp.float32
             and jax.default_backend() == "tpu"
             and factored_pallas_ok(obs.shape[0], len(self.words))
         )
         decode_fn = self._decode_fn_pallas if use_kernel else self._decode_fn
-        path, score = decode_fn(
+        return decode_fn(
             obs, mask, self.inner_a, self.hop, self.log_pi_w,
             self.log_final_w, self.exit_idx, self.state_map, self.pad_mask,
             self.log_w, self.mu, self.cov,
         )
-        path = np.asarray(path)
-        return self._path_to_words(path), path, float(score)
 
     @functools.cached_property
     def _decode_batch_fn(self):
@@ -1219,13 +1232,17 @@ class TrigramDecodingGraph:
         obs = jnp.asarray(features, self.dtype)
         if mask is not None:
             mask = jnp.asarray(mask, bool)
-        path, score = self._decode_fn(
+        path, score = self.decode_arrays(obs, mask)
+        path = np.asarray(path)
+        return self._path_to_words(path), path, float(score)
+
+    def decode_arrays(self, obs, mask):
+        """Traceable decode core (see :meth:`DecodingGraph.decode_arrays`)."""
+        return self._decode_fn(
             obs, mask, self.inner_a, self.hop3, self.log_pi_w, self.final3,
             self.exit_idx, self.state_map, self.pad_mask,
             self.log_w, self.mu, self.cov,
         )
-        path = np.asarray(path)
-        return self._path_to_words(path), path, float(score)
 
     def decode_batch(
         self, features, masks

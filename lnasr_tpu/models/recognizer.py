@@ -18,6 +18,7 @@ example utterances).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 import time
 from typing import Dict, List, Mapping, Optional, Sequence, Tuple
@@ -263,9 +264,13 @@ class Recognizer:
         """Decode one segment and return ``(words, score, word_times)``
         with per-word ``(word, start_s, end_s)`` relative to the segment
         (frame start/end converted via the MFCC hop and frame length)."""
-        feats, mask = self._segment_features(audio_seg)
-        words, path, score = self.graph.decode(feats, mask)
-        n_valid = int(mask.sum()) if mask is not None else len(path)
+        if self.bucket_frames:
+            path, score, n_valid = self._decode_segment_padded(audio_seg)
+            words = self.graph._path_to_words(path)
+        else:
+            feats, mask = self._segment_features(audio_seg)
+            words, path, score = self.graph.decode(feats, mask)
+            n_valid = int(mask.sum()) if mask is not None else len(path)
         align = self.graph.path_to_alignment(np.asarray(path),
                                              n_frames=n_valid)
         cfg = self.am.mfcc.config
@@ -296,9 +301,67 @@ class Recognizer:
         mask = np.arange(feats.shape[0]) < n_valid
         return feats, mask
 
+    @functools.cached_property
+    def _fused_segment_fn(self):
+        """ONE jitted program per bucket shape: padded samples in, decoded
+        (path, score) out — MFCC frontend (fused Pallas on TPU) + graph
+        Viterbi with no intermediate host round trip. On a remote-TPU
+        deployment each dispatch pays a network RTT, so the previous
+        features-then-decode flow put 2-3 RTTs in every streaming
+        segment's latency."""
+        import jax
+
+        from lnasr_tpu.models.mfcc import (
+            mfcc_features,
+            mfcc_features_fused,
+            use_fused_frontend,
+        )
+
+        cfg = self.am.mfcc.config
+        dtype = self.am.dtype
+        graph = self.graph
+        fused = use_fused_frontend(cfg)
+        interpret = jax.default_backend() != "tpu"
+
+        def fn(sig, length):
+            if fused:
+                feats_b, mask_b = mfcc_features_fused(
+                    sig[None], cfg, lengths=length[None],
+                    interpret=interpret, dtype=dtype,
+                )
+                feats, mask = feats_b[0], mask_b[0]
+            else:
+                res = mfcc_features(sig, cfg, length=length, dtype=dtype)
+                feats, mask = res.features, res.mask
+            return graph.decode_arrays(feats, mask)
+
+        return jax.jit(fn)
+
+    def _decode_segment_padded(self, audio_seg):
+        """Bucket-padded fused decode: returns ``(path, score, n_valid)``."""
+        import jax.numpy as jnp
+
+        cfg = self.am.mfcc.config
+        audio_seg = np.asarray(audio_seg)
+        bucket_samples = self.bucket_frames * cfg.frame_step
+        n = len(audio_seg)
+        n_pad = max(bucket_samples, -(-n // bucket_samples) * bucket_samples)
+        padded = np.zeros(n_pad, np.float32)
+        padded[:n] = audio_seg
+        path, score = self._fused_segment_fn(
+            jnp.asarray(padded), jnp.asarray(n, jnp.int32)
+        )
+        from lnasr_tpu.ops.framing import num_frames
+
+        n_valid = num_frames(n, cfg.frame_len, cfg.frame_step)
+        return np.asarray(path), float(score), n_valid
+
     def decode_segment(self, audio_seg) -> Tuple[List[str], float]:
-        """Features + composed-graph decode of one speech segment,
-        shape-bucketed when ``bucket_frames`` is set."""
+        """Features + composed-graph decode of one speech segment — a
+        single fused dispatch when shape-bucketed (``bucket_frames``)."""
+        if self.bucket_frames:
+            path, score, _ = self._decode_segment_padded(audio_seg)
+            return self.graph._path_to_words(path), score
         feats, mask = self._segment_features(audio_seg)
         words, _, score = self.graph.decode(feats, mask)
         return words, score

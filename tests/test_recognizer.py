@@ -209,23 +209,22 @@ def test_bucketed_decoding_matches_unbucketed(trained_recognizer):
                        bucket_frames=64)
 
     shapes = []
-    orig_decode = rec_b.graph.decode
+    orig_fused = rec_b._fused_segment_fn  # one jitted program in, spy on it
 
-    def spy(feats, mask=None):
-        shapes.append(np.asarray(feats).shape)
-        return orig_decode(feats, mask)
+    def spy(sig, length):
+        shapes.append(tuple(np.asarray(sig).shape))
+        return orig_fused(sig, length)
 
-    rec_b.graph.decode = spy
+    rec_b.__dict__["_fused_segment_fn"] = spy
     for dur in (0.31, 0.35, 0.43):
         audio = _word_audio("mid", rng, dur=dur)
         words_b, _ = rec_b.decode_segment(audio)
         words, _ = rec.decode_segment(audio)
         assert words_b == words
-    # 0.31-0.43 s at 10 ms stride spans 31-43 frames: ONE 64-frame bucket
-    # (frame count is a deterministic function of the bucketed audio
-    # length — num_frames(k * 64 * step) — not itself a multiple of 64)
+    # 0.31-0.43 s at 10 ms stride spans 31-43 frames: ONE 64-frame bucket,
+    # so every fused call shares a single padded-sample shape (one compile)
     assert len(set(shapes)) == 1, shapes
-    assert shapes[0][0] >= 43
+    assert shapes[0][0] == 64 * rec.am.mfcc.config.frame_step
 
 
 def test_bucketing_rejects_mean_norm(trained_recognizer):
