@@ -41,6 +41,13 @@ _LANES = 128
 _SUB = 8  # state padding (f32 sublane tile)
 
 
+_UNROLL = 4  # trellis steps per loop trip; see docs/performance.md:
+# the per-step cost at unroll 1 measured ~124 ns of which ~80 ns was
+# fori_loop control overhead, not the (8,8,128) VPU recurrence — 4 steps
+# per trip reach ~49 ns/step (unroll 8: 47, not worth the code size).
+# Same ops in the same order, so results stay bitwise identical.
+
+
 def _viterbi_kernel(log_pi_ref, log_a_ref, log_b_ref, path_ref, score_ref,
                     v_ref, bt_ref):
     """One batch tile: forward max-plus trellis then in-VMEM backtrace.
@@ -49,7 +56,8 @@ def _viterbi_kernel(log_pi_ref, log_a_ref, log_b_ref, path_ref, score_ref,
     log_b (T, S, LANES), path out (T, LANES) int32,
     score out (1, LANES), v scratch (S, LANES),
     bt scratch (T, S, LANES) int32 — S is the state count padded to the
-    f32 sublane tile (8), up to 32.
+    f32 sublane tile (8), up to 32. Both sequential loops are unrolled
+    by ``_UNROLL`` (latency-bound; loop control dominated per-step cost).
     """
     t_len = log_b_ref.shape[0]
     sub = log_a_ref.shape[0]
@@ -59,15 +67,24 @@ def _viterbi_kernel(log_pi_ref, log_a_ref, log_b_ref, path_ref, score_ref,
 
     log_a = log_a_ref[:, :]
 
-    def fwd_step(t, _):
+    def fwd_one(t):
         v = v_ref[:, :]  # (SUB, LANES)
         # cand[i, j, b] = v[i, b] + A[i, j]
         cand = v[:, None, :] + log_a[:, :, None]
         v_ref[:, :] = jnp.max(cand, axis=0) + log_b_ref[t]
         bt_ref[t] = jnp.argmax(cand, axis=0).astype(jnp.int32)
+
+    n_trips = (t_len - 1) // _UNROLL
+
+    def fwd_step(i, _):
+        t = 1 + i * _UNROLL
+        for k in range(_UNROLL):
+            fwd_one(t + k)
         return 0
 
-    jax.lax.fori_loop(1, t_len, fwd_step, 0)
+    jax.lax.fori_loop(0, n_trips, fwd_step, 0)
+    for t in range(1 + n_trips * _UNROLL, t_len):  # static remainder
+        fwd_one(t)
 
     v = v_ref[:, :]
     score_ref[0, :] = jnp.max(v, axis=0)
@@ -76,9 +93,8 @@ def _viterbi_kernel(log_pi_ref, log_a_ref, log_b_ref, path_ref, score_ref,
 
     sub_iota = jax.lax.broadcasted_iota(jnp.int32, (sub, lanes), 0)
 
-    def back_step(k, state):
-        # state: (LANES,) int32 path at time t+1; t runs T-2 .. 0
-        t = t_len - 2 - k
+    def back_one(t, state):
+        # state: (LANES,) int32 path at time t+1
         onehot = sub_iota == state[None, :]
         # keep the reduction in int32 (x64 mode would promote the sum)
         prev = jnp.sum(
@@ -87,7 +103,14 @@ def _viterbi_kernel(log_pi_ref, log_a_ref, log_b_ref, path_ref, score_ref,
         path_ref[t, :] = prev
         return prev
 
-    jax.lax.fori_loop(0, t_len - 1, back_step, last)
+    def back_step(i, state):
+        for k in range(_UNROLL):
+            state = back_one(t_len - 2 - (i * _UNROLL + k), state)
+        return state
+
+    state = jax.lax.fori_loop(0, n_trips, back_step, last)
+    for t in range(t_len - 2 - n_trips * _UNROLL, -1, -1):
+        state = back_one(t, state)
 
 
 def _pad_to(x: jax.Array, size: int, axis: int, value) -> jax.Array:
