@@ -238,6 +238,29 @@ class MFCC:
         fn = lambda sig: mfcc_features(sig, cfg, None, dtype).features
         return jax.jit(jax.vmap(fn))
 
+    @functools.cached_property
+    def _fused_nolen(self):
+        # one jit around kernel + epilogue: calling mfcc_features_fused
+        # un-jitted would run the (T, 40) epilogue ops eagerly — dozens
+        # of dispatches, each a network RTT on a tunneled TPU
+        cfg, dtype = self.config, self.dtype
+        interpret = jax.default_backend() != "tpu"
+        return jax.jit(
+            lambda sig: mfcc_features_fused(
+                sig, cfg, interpret=interpret, dtype=dtype
+            )[0]
+        )
+
+    @functools.cached_property
+    def _fused_len(self):
+        cfg, dtype = self.config, self.dtype
+        interpret = jax.default_backend() != "tpu"
+        return jax.jit(
+            lambda sig, lengths: mfcc_features_fused(
+                sig, cfg, lengths=lengths, interpret=interpret, dtype=dtype
+            )
+        )
+
     def __call__(self, signal) -> MFCCResult:
         """One utterance -> :class:`MFCCResult` (reference's ``calc_mfcc``
         returns the same (power, cepstrum, features) triple,
@@ -270,12 +293,10 @@ class MFCC:
             if lengths is not None:
                 lengths = jnp.asarray(lengths).reshape(1)
         if use_fused_frontend(self.config):
-            interpret = jax.default_backend() != "tpu"
-            feats, mask = mfcc_features_fused(
-                signals, self.config, lengths=lengths,
-                interpret=interpret, dtype=self.dtype,
-            )
-            mask = None if lengths is None else mask
+            if lengths is None:
+                feats, mask = self._fused_nolen(signals), None
+            else:
+                feats, mask = self._fused_len(signals, jnp.asarray(lengths))
         elif lengths is None:
             feats, mask = self._batched_nolen(signals), None
         else:
