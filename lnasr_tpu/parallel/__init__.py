@@ -41,6 +41,10 @@ from lnasr_tpu.parallel.model_parallel import (
     mp_param_specs,
     train_model_parallel,
 )
+from lnasr_tpu.parallel.serving import (
+    decode_batch_sharded,
+    make_dp_decode_step,
+)
 from lnasr_tpu.parallel.pipeline import (
     make_stage_mesh,
     streaming_pipeline_decode,
@@ -48,6 +52,8 @@ from lnasr_tpu.parallel.pipeline import (
 )
 
 __all__ = [
+    "decode_batch_sharded",
+    "make_dp_decode_step",
     "make_stage_mesh",
     "streaming_pipeline_decode",
     "streaming_pipeline_scores",

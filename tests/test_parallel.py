@@ -506,3 +506,79 @@ def test_train_model_parallel_loop_and_resume(tmp_path):
     for a, b in zip(resumed.params, ref.params):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-9, atol=1e-12)
+
+
+def test_dp_sharded_decode_matches_local_batch():
+    """decode_batch_sharded over the ('data',) mesh must reproduce the
+    local decode_batch exactly (graph replicated, batch sharded)."""
+    import types
+
+    from lnasr_tpu.config import GMMHMMConfig
+    from lnasr_tpu.models.decoder import DecoderConfig, FactoredDecodingGraph
+    from lnasr_tpu.models.lexicon import Lexicon
+    from lnasr_tpu.parallel import decode_batch_sharded, make_mesh, mesh_shape_for
+
+    rng = np.random.default_rng(5)
+    v, dim, n_states = 12, 5, 3
+    cfg = GMMHMMConfig(n_states=n_states, n_mix=1, dim=dim)
+    means = rng.normal(scale=8.0, size=(v, dim))
+    with np.errstate(divide="ignore"):
+        log_a = np.log(
+            np.where(np.eye(n_states) + np.eye(n_states, k=1) > 0, 0.5, 0.0)
+        ).astype(np.float32)
+    units = {
+        f"w{i:02d}": types.SimpleNamespace(
+            n=n_states, config=cfg, log_a=log_a,
+            log_w=np.zeros((n_states, 1), np.float32),
+            mu=(means[i][None, None, :]
+                + rng.normal(scale=0.3, size=(n_states, 1, dim))
+                ).astype(np.float32),
+            cov=np.full((n_states, 1, dim), 0.1, np.float32),
+        )
+        for i in range(v)
+    }
+    graph = FactoredDecodingGraph.build(
+        Lexicon.whole_word(sorted(units)), units, None,
+        DecoderConfig(loop=True), dtype=jnp.float32,
+    )
+    b, t = 8, 21
+    feats = rng.normal(scale=8.0, size=(b, t, dim)).astype(np.float32)
+    masks = np.ones((b, t), bool)
+    masks[1, 15:] = False  # one bucket-padded segment
+
+    mesh = make_mesh(mesh_shape_for(8, data=8))
+    got = decode_batch_sharded(graph, feats, masks, mesh)
+    ref = graph.decode_batch(feats, masks)
+    for (gw, gp, gs), (rw, rp, rs) in zip(got, ref):
+        assert gw == rw
+        np.testing.assert_array_equal(gp, rp)
+        assert gs == rs
+
+
+def test_dp_sharded_decode_rejects_indivisible_batch():
+    import types
+
+    from lnasr_tpu.config import GMMHMMConfig
+    from lnasr_tpu.models.decoder import DecoderConfig, FactoredDecodingGraph
+    from lnasr_tpu.models.lexicon import Lexicon
+    from lnasr_tpu.parallel import decode_batch_sharded, make_mesh, mesh_shape_for
+
+    rng = np.random.default_rng(0)
+    cfg = GMMHMMConfig(n_states=2, n_mix=1, dim=3)
+    with np.errstate(divide="ignore"):
+        log_a = np.log(np.eye(2) * 0.5 + np.eye(2, k=1) * 0.5).astype(np.float32)
+    units = {"w0": types.SimpleNamespace(
+        n=2, config=cfg, log_a=log_a,
+        log_w=np.zeros((2, 1), np.float32),
+        mu=rng.normal(size=(2, 1, 3)).astype(np.float32),
+        cov=np.ones((2, 1, 3), np.float32))}
+    graph = FactoredDecodingGraph.build(
+        Lexicon.whole_word(["w0"]), units, None, DecoderConfig(loop=True),
+        dtype=jnp.float32,
+    )
+    mesh = make_mesh(mesh_shape_for(8, data=8))
+    with pytest.raises(ValueError, match="divide"):
+        decode_batch_sharded(
+            graph, np.zeros((3, 5, 3), np.float32), np.ones((3, 5), bool),
+            mesh,
+        )
