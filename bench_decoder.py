@@ -187,6 +187,81 @@ def _factored_sol(vocab: int, n_frames: int, seconds: float) -> dict:
     }
 
 
+def bench_lattice(vocab: int, n_frames: int, dim: int = 8,
+                  n_states: int = 3) -> dict:
+    """Lattice-recording pass (N-best serving): Pallas kernel vs scan."""
+    import types
+
+    import jax
+    import jax.numpy as jnp
+
+    from lnasr_tpu.config import GMMHMMConfig
+    from lnasr_tpu.models.decoder import DecoderConfig, FactoredDecodingGraph
+    from lnasr_tpu.models.lexicon import Lexicon
+
+    rng = np.random.default_rng(0)
+    cfg = GMMHMMConfig(n_states=n_states, n_mix=1, dim=dim)
+    means = rng.normal(scale=30.0, size=(vocab, dim))
+    log_a = np.log(np.where(np.eye(n_states) + np.eye(n_states, k=1) > 0,
+                            0.5, 0.0)).astype(np.float32)
+    units = {
+        f"w{i:04d}": types.SimpleNamespace(
+            n=n_states, config=cfg, log_a=log_a,
+            log_w=np.zeros((n_states, 1), np.float32),
+            mu=(means[i][None, None, :]
+                + np.arange(n_states)[:, None, None] * 0.5).astype(np.float32),
+            cov=np.full((n_states, 1, dim), 0.05, np.float32),
+        )
+        for i in range(vocab)
+    }
+    lex = Lexicon.whole_word(sorted(units))
+    graph = FactoredDecodingGraph.build(
+        lex, units, None, DecoderConfig(loop=True), dtype=jnp.float32
+    )
+    frames = jnp.asarray(
+        rng.normal(scale=30.0, size=(n_frames, dim)).astype(np.float32)
+    )
+    graph.decode_lattice(frames, beam=20.0)  # end-to-end sanity
+
+    args = (graph.inner_a, graph.hop, graph.log_pi_w, graph.log_final_w,
+            graph.exit_idx, graph.state_map, graph.pad_mask,
+            graph.log_w, graph.mu, graph.cov)
+
+    def timed(fn):
+        def make_loop(nreps: int):
+            @jax.jit
+            def run(frames):
+                def body(i, acc):
+                    out = fn(frames + i.astype(jnp.float32) * 1e-6, None,
+                             *args)
+                    return acc + sum(
+                        jnp.sum(x).astype(jnp.float32)
+                        for x in jax.tree_util.tree_leaves(out)[:3]
+                    )
+
+                return jax.lax.fori_loop(0, nreps, body, jnp.float32(0.0))
+
+            return lambda: run(frames)
+
+        return _loop_diff_seconds(make_loop)
+
+    t_scan = timed(graph._lattice_fn)
+    on_tpu = jax.default_backend() == "tpu"
+    t_kern = timed(graph._lattice_fn_pallas) if on_tpu else None
+    best = t_kern if t_kern is not None else t_scan
+    audio_s = n_frames * 0.010
+    return {
+        "metric": f"lattice-recording pass for N-best serving "
+                  f"({vocab}-word lexicon)",
+        "value": round(audio_s / best, 2),
+        "unit": "audio-seconds/s",
+        "frames": n_frames,
+        "scan_seconds": round(t_scan, 4),
+        "pallas_seconds": None if t_kern is None else round(t_kern, 4),
+        "backend": jax.default_backend(),
+    }
+
+
 def bench_dense_kernel(n: int, t_len: int, repeats: int = 5) -> dict:
     import jax
     import jax.numpy as jnp
@@ -268,6 +343,7 @@ def main(argv=None) -> int:
 
     rows = [
         bench_factored_decode(args.vocab, args.frames),
+        bench_lattice(args.vocab, args.frames),
         bench_dense_kernel(args.n, args.t),
     ]
     for r in rows:

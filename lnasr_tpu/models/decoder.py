@@ -852,6 +852,29 @@ class FactoredDecodingGraph:
 
         return jax.jit(fn)
 
+    @functools.cached_property
+    def _lattice_fn_pallas(self):
+        """Kernel-backed lattice recording (TPU serving path): the whole
+        trellis + token-metadata propagation runs in one Pallas kernel
+        (:func:`lnasr_tpu.ops.factored_pallas.factored_lattice_pallas`)
+        instead of the ``lax.scan`` — same records (scan-parity-tested),
+        decode-kernel speed."""
+        from lnasr_tpu.ops.factored_pallas import factored_lattice_pallas
+
+        cov_type = self.cov_type
+
+        def fn(obs, mask, inner_a, hop, log_pi_w, log_final_w, exit_idx,
+               state_map, pad_mask, log_w, mu, cov):
+            log_b, pi_grid, _ = _factored_grid_inputs(
+                obs, log_pi_w, log_final_w, exit_idx, state_map, pad_mask,
+                log_w, mu, cov, cov_type,
+            )
+            return factored_lattice_pallas(
+                pi_grid, inner_a, exit_idx, hop, log_b, mask
+            )
+
+        return jax.jit(fn)
+
     def decode_lattice(self, features, mask=None, beam: float = 40.0,
                        max_tokens_per_frame: Optional[int] = None):
         """Run the lattice-recording forward pass and build a
@@ -865,6 +888,8 @@ class FactoredDecodingGraph:
         records by rank.
         """
         from lnasr_tpu.models.lattice import WordLattice
+        from lnasr_tpu.ops.factored_pallas import factored_pallas_ok
+        from lnasr_tpu.ops.trellis_pallas import NEG
 
         if self.hop is None:
             raise ValueError("lattice decoding requires a looped graph "
@@ -872,11 +897,29 @@ class FactoredDecodingGraph:
         obs = jnp.asarray(features, self.dtype)
         if mask is not None:
             mask = jnp.asarray(mask, bool)
-        exit_score, exit_start, exit_pred, _ = self._lattice_fn(
-            obs, mask, self.inner_a, self.hop, self.log_pi_w,
-            self.log_final_w, self.exit_idx, self.state_map, self.pad_mask,
-            self.log_w, self.mu, self.cov,
+        use_kernel = (
+            self.dtype == jnp.float32
+            and jax.default_backend() == "tpu"
+            and factored_pallas_ok(obs.shape[0], len(self.words))
         )
+        if use_kernel:
+            exit_score, exit_start, exit_pred = self._lattice_fn_pallas(
+                obs, mask, self.inner_a, self.hop, self.log_pi_w,
+                self.log_final_w, self.exit_idx, self.state_map,
+                self.pad_mask, self.log_w, self.mu, self.cov,
+            )
+            # the kernel carries unreachable states at the finite NEG
+            # sentinel; the lattice builder filters by isfinite, so
+            # restore -inf (otherwise an early all-unreachable frame
+            # would mint V bogus tokens at -1e30)
+            exit_score = jnp.where(exit_score <= NEG / 2, -jnp.inf,
+                                   exit_score)
+        else:
+            exit_score, exit_start, exit_pred, _ = self._lattice_fn(
+                obs, mask, self.inner_a, self.hop, self.log_pi_w,
+                self.log_final_w, self.exit_idx, self.state_map,
+                self.pad_mask, self.log_w, self.mu, self.cov,
+            )
         n_valid = (
             obs.shape[0] if mask is None else int(np.asarray(mask).sum())
         )

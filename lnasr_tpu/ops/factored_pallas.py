@@ -423,3 +423,164 @@ def factored_pallas_ok(t_len: int, v_words: int,
             + 2 * _TC * _SUB * v_pad) * 4 + _LANES * _LANES * 2
     hbm = (-(-t_len // _TC) * _TC) * _SUB * v_pad * 4
     return vmem <= vmem_budget and hbm <= hbm_budget
+
+
+def _lattice_kernel(pi_ref, at_ref, exitm_ref, eidx_ref, hop_ref, eye_ref,
+                    logb_ref, mask_ref, score_ref, start_ref_o, pred_ref_o,
+                    v_ref, st_ref, pr_ref):
+    """Lattice-recording forward: the :func:`_fwd_kernel` trellis PLUS
+    token metadata — every grid state carries the frame its current word
+    token was entered (``start``) and the word it was entered from
+    (``pred``); per frame each word's exit-state record
+    ``(score, start, pred)`` streams out. Bitwise/value-identical to
+    ``models.decoder.factored_lattice_scan`` (same max-plus adds, same
+    first-max argmax and strict ``entry > within`` rules, replicated here
+    with masked min-index selects).
+
+    Shapes: pi/exitm (S, V), at (S_from, S_to, V), eidx (1, V) int32,
+    hop (V, V) [from-sublane, to-lane], eye (128, 384); logb blocks
+    (TC, S, V); outputs per block (TC, V) f32/i32/i32; scratch v (S, V)
+    f32 + start/pred (S, V) int32 persist across grid steps.
+    """
+    tc, s_pad, v_pad = logb_ref.shape
+    blk = pl.program_id(0)
+    dtype = v_ref.dtype
+    big = jnp.int32(v_pad * s_pad + s_pad)
+    sub2 = jax.lax.broadcasted_iota(jnp.int32, (s_pad, v_pad), 0)
+    sub_col = jax.lax.broadcasted_iota(jnp.int32, (v_pad, 1), 0)
+    emask = sub2 == eidx_ref[:, :]  # (S, V) one-hot of each word's exit
+
+    def frame(i):
+        t = blk * tc + i
+        lb = logb_ref[i]
+        valid = mask_ref[t] > 0
+
+        @pl.when(t == 0)
+        def _():
+            v_ref[:, :] = pi_ref[:, :] + lb
+            st_ref[:, :] = jnp.zeros((s_pad, v_pad), jnp.int32)
+            pr_ref[:, :] = jnp.full((s_pad, v_pad), -1, jnp.int32)
+
+        @pl.when((t > 0) & valid)
+        def _():
+            vg = v_ref[:, :]
+            cand = vg[:, None, :] + at_ref[:, :, :]  # (S_from, S_to, V)
+            within = jnp.max(cand, axis=0)  # (S_to, V)
+            # first-max predecessor per (j, v), then gather start/pred
+            # from that sublane via one-hot selects (S is tiny)
+            wsrc = jnp.min(
+                jnp.where(cand == within[None, :, :],
+                          jax.lax.broadcasted_iota(
+                              jnp.int32, (s_pad, s_pad, v_pad), 0),
+                          big),
+                axis=0,
+            )  # (S_to, V)
+            st, pr = st_ref[:, :], pr_ref[:, :]
+            new_start = jnp.zeros((s_pad, v_pad), jnp.int32)
+            new_pred = jnp.zeros((s_pad, v_pad), jnp.int32)
+            for s in range(s_pad):
+                new_start = jnp.where(wsrc == s, st[s : s + 1, :], new_start)
+                new_pred = jnp.where(wsrc == s, pr[s : s + 1, :], new_pred)
+
+            exit_row = jnp.max(vg + exitm_ref[:, :], axis=0, keepdims=True)
+            exit_col = row_to_col_split3(eye_ref, exit_row, dtype)  # (V, 1)
+            cand_hop = exit_col + hop_ref[:, :]  # (V_from, V_to)
+            entry = jnp.max(cand_hop, axis=0, keepdims=True)  # (1, V)
+            esrc = jnp.min(
+                jnp.where(cand_hop == entry, sub_col, big), axis=0,
+                keepdims=True,
+            ).astype(jnp.int32)  # (1, V) first-from-word
+            hop_wins = entry > within[0:1, :]
+            ridx = sub2 == 0
+            row0 = jnp.broadcast_to(jnp.maximum(within[0:1, :], entry),
+                                    (s_pad, v_pad))
+            within = jnp.where(ridx, row0, within)
+            new_start = jnp.where(
+                ridx & jnp.broadcast_to(hop_wins, (s_pad, v_pad)),
+                t, new_start,
+            )
+            new_pred = jnp.where(
+                ridx & jnp.broadcast_to(hop_wins, (s_pad, v_pad)),
+                jnp.broadcast_to(esrc, (s_pad, v_pad)), new_pred,
+            )
+            v_ref[:, :] = within + lb
+            st_ref[:, :] = new_start
+            pr_ref[:, :] = new_pred
+
+        # per-frame exit records (masked frames repeat the carried state)
+        @pl.when(t >= 0)
+        def _():
+            v = v_ref[:, :]
+            score_ref[i, :] = jnp.max(v + exitm_ref[:, :], axis=0)
+            start_ref_o[i, :] = jnp.sum(
+                jnp.where(emask, st_ref[:, :], 0), axis=0, dtype=jnp.int32
+            )
+            pred_ref_o[i, :] = jnp.sum(
+                jnp.where(emask, pr_ref[:, :], 0), axis=0, dtype=jnp.int32
+            )
+
+    unroll = 4
+    assert tc % unroll == 0
+
+    def frames(q, _):
+        for r in range(unroll):
+            frame(q * unroll + r)
+        return 0
+
+    jax.lax.fori_loop(0, tc // unroll, frames, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def factored_lattice_pallas(
+    pi_grid: jax.Array,
+    inner_a: jax.Array,
+    exit_idx: jax.Array,
+    hop: jax.Array,  # (V, V); lattices require a looped graph
+    log_b_grid: jax.Array,
+    mask: Optional[jax.Array] = None,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Lattice-recording forward pass as ONE Pallas kernel:
+    ``(exit_score (T, V), exit_start (T, V) i32, exit_pred (T, V) i32)``
+    — value-identical to :func:`models.decoder.factored_lattice_scan`'s
+    first three outputs, at the trellis kernel's speed (the ``lax.scan``
+    recording pass was the N-best serving path's dominant cost)."""
+    prep = _prep_forward_inputs(pi_grid, inner_a, exit_idx, hop, log_b_grid,
+                                mask)
+    t_len, t_pad = prep["t_len"], prep["t_pad"]
+    v_pad, v_words, dtype = prep["v_pad"], prep["v_words"], prep["dtype"]
+    eidx = jnp.maximum(_pad_idx(exit_idx, v_pad), -1)[None, :]
+
+    score, start, pred = pl.pallas_call(
+        _lattice_kernel,
+        grid=(t_pad // _TC,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # pi
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # at
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # exitm
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # eidx
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # hop
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # eye
+            pl.BlockSpec((_TC, _SUB, v_pad), lambda b: (b, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # mask
+        ],
+        out_specs=[
+            pl.BlockSpec((_TC, v_pad), lambda b: (b, 0)),
+            pl.BlockSpec((_TC, v_pad), lambda b: (b, 0)),
+            pl.BlockSpec((_TC, v_pad), lambda b: (b, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_pad, v_pad), dtype),
+            jax.ShapeDtypeStruct((t_pad, v_pad), jnp.int32),
+            jax.ShapeDtypeStruct((t_pad, v_pad), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((_SUB, v_pad), dtype),
+            pltpu.VMEM((_SUB, v_pad), jnp.int32),
+            pltpu.VMEM((_SUB, v_pad), jnp.int32),
+        ],
+        interpret=interpret,
+    )(prep["pi"], prep["at"], prep["exitm"], eidx, prep["hop_p"],
+      prep["eye"], prep["lb"], prep["m"])
+    return (score[:t_len, :v_words], start[:t_len, :v_words],
+            pred[:t_len, :v_words])

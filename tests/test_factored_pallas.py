@@ -215,3 +215,56 @@ def test_fused_decode_planted_sequence():
     path, score = _fused_decode(graph, np.asarray(frames, np.float32))
     assert graph._path_to_words(np.asarray(path)) == seq_words
     assert np.isfinite(float(score))
+
+
+def _lattice_records_scan(graph, obs, mask=None):
+    from lnasr_tpu.models.decoder import factored_lattice_scan
+
+    log_b, pi_grid, _ = _grid_inputs(graph, obs)
+    s, st, p, _ = factored_lattice_scan(
+        log_b, graph.inner_a, graph.hop, pi_grid, graph.exit_idx,
+        None if mask is None else jnp.asarray(mask),
+    )
+    return s, st, p
+
+
+@pytest.mark.parametrize("v,t,mixed", [(5, 19, True), (130, 17, True)])
+def test_lattice_kernel_matches_scan(v, t, mixed):
+    """The lattice-recording kernel must reproduce the scan's records:
+    start/pred exactly, scores exactly at every feasible state (the
+    kernel carries unreachable states at the finite NEG sentinel)."""
+    from lnasr_tpu.ops.factored_pallas import factored_lattice_pallas
+    from lnasr_tpu.ops.trellis_pallas import NEG
+
+    graph, rng = _graph(v, mixed_lengths=mixed, seed=v)
+    obs = rng.normal(scale=8.0, size=(t, 5)).astype(np.float32)
+    ref_s, ref_st, ref_p = _lattice_records_scan(graph, obs)
+    log_b, pi_grid, _ = _grid_inputs(graph, obs)
+    got_s, got_st, got_p = factored_lattice_pallas(
+        pi_grid, graph.inner_a, graph.exit_idx, graph.hop, log_b,
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got_st), np.asarray(ref_st))
+    np.testing.assert_array_equal(np.asarray(got_p), np.asarray(ref_p))
+    rs, gs = np.asarray(ref_s), np.asarray(got_s)
+    np.testing.assert_array_equal(np.maximum(rs, NEG), np.maximum(gs, NEG))
+
+
+def test_lattice_kernel_masked():
+    from lnasr_tpu.ops.factored_pallas import factored_lattice_pallas
+    from lnasr_tpu.ops.trellis_pallas import NEG
+
+    graph, rng = _graph(9, mixed_lengths=True, seed=21)
+    obs = rng.normal(scale=8.0, size=(32, 5)).astype(np.float32)
+    mask = np.arange(32) < 23
+    ref_s, ref_st, ref_p = _lattice_records_scan(graph, obs, mask)
+    log_b, pi_grid, _ = _grid_inputs(graph, obs)
+    got_s, got_st, got_p = factored_lattice_pallas(
+        pi_grid, graph.inner_a, graph.exit_idx, graph.hop, log_b,
+        jnp.asarray(mask), interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got_st), np.asarray(ref_st))
+    np.testing.assert_array_equal(np.asarray(got_p), np.asarray(ref_p))
+    np.testing.assert_array_equal(
+        np.maximum(np.asarray(ref_s), NEG), np.maximum(np.asarray(got_s), NEG)
+    )

@@ -157,3 +157,37 @@ def test_fused_factored_decode_lowers_and_matches_xla_backtrace():
     )
     np.testing.assert_array_equal(np.asarray(path), np.asarray(ref_path))
     assert float(score) == float(ref_score)
+
+
+def test_lattice_kernel_lowers_and_matches_scan():
+    """The lattice-recording kernel on hardware vs the lax.scan records."""
+    from lnasr_tpu.models.decoder import factored_lattice_scan
+    from lnasr_tpu.ops.factored_pallas import factored_lattice_pallas
+    from lnasr_tpu.ops.trellis_pallas import NEG
+
+    rng = _rng()
+    v, s, t = 20, 3, 40
+    pi = np.full((v, s), -1e30, np.float32)
+    pi[:, 0] = np.log(1.0 / v)
+    inner = np.full((v, s, s), -1e30, np.float32)
+    for j in range(s):
+        inner[:, j, j] = np.log(0.5)
+        if j + 1 < s:
+            inner[:, j, j + 1] = np.log(0.5)
+    exit_idx = np.full(v, s - 1, np.int64)
+    hop = rng.normal(size=(v, v)).astype(np.float32) - 2.0
+    log_b = rng.normal(size=(t, v, s)).astype(np.float32)
+
+    ref_s, ref_st, ref_p, _ = factored_lattice_scan(
+        jnp.asarray(log_b), jnp.asarray(inner), jnp.asarray(hop),
+        jnp.asarray(pi), jnp.asarray(exit_idx),
+    )
+    got_s, got_st, got_p = factored_lattice_pallas(
+        jnp.asarray(pi), jnp.asarray(inner), jnp.asarray(exit_idx),
+        jnp.asarray(hop), jnp.asarray(log_b),
+    )
+    np.testing.assert_array_equal(np.asarray(got_st), np.asarray(ref_st))
+    np.testing.assert_array_equal(np.asarray(got_p), np.asarray(ref_p))
+    np.testing.assert_array_equal(
+        np.maximum(np.asarray(ref_s), NEG), np.maximum(np.asarray(got_s), NEG)
+    )
