@@ -875,6 +875,38 @@ class FactoredDecodingGraph:
 
         return jax.jit(fn)
 
+    def lattice_records_arrays(self, obs, mask):
+        """Traceable lattice-record core: ``(feats, mask) -> (exit_score,
+        exit_start, exit_pred)`` device arrays (Pallas kernel on TPU when
+        the graph fits VMEM, the scan elsewhere) — composable under an
+        outer jit like :meth:`decode_arrays`. Kernel NEG sentinels are
+        restored to ``-inf`` here (the lattice builder filters records by
+        ``isfinite``; an early all-unreachable frame would otherwise mint
+        V bogus tokens at -1e30)."""
+        from lnasr_tpu.ops.factored_pallas import factored_pallas_ok
+        from lnasr_tpu.ops.trellis_pallas import NEG
+
+        use_kernel = (
+            self.dtype == jnp.float32
+            and jax.default_backend() == "tpu"
+            and factored_pallas_ok(obs.shape[0], len(self.words))
+        )
+        if use_kernel:
+            exit_score, exit_start, exit_pred = self._lattice_fn_pallas(
+                obs, mask, self.inner_a, self.hop, self.log_pi_w,
+                self.log_final_w, self.exit_idx, self.state_map,
+                self.pad_mask, self.log_w, self.mu, self.cov,
+            )
+            exit_score = jnp.where(exit_score <= NEG / 2, -jnp.inf,
+                                   exit_score)
+        else:
+            exit_score, exit_start, exit_pred, _ = self._lattice_fn(
+                obs, mask, self.inner_a, self.hop, self.log_pi_w,
+                self.log_final_w, self.exit_idx, self.state_map,
+                self.pad_mask, self.log_w, self.mu, self.cov,
+            )
+        return exit_score, exit_start, exit_pred
+
     def decode_lattice(self, features, mask=None, beam: float = 40.0,
                        max_tokens_per_frame: Optional[int] = None):
         """Run the lattice-recording forward pass and build a
@@ -888,8 +920,6 @@ class FactoredDecodingGraph:
         records by rank.
         """
         from lnasr_tpu.models.lattice import WordLattice
-        from lnasr_tpu.ops.factored_pallas import factored_pallas_ok
-        from lnasr_tpu.ops.trellis_pallas import NEG
 
         if self.hop is None:
             raise ValueError("lattice decoding requires a looped graph "
@@ -897,29 +927,9 @@ class FactoredDecodingGraph:
         obs = jnp.asarray(features, self.dtype)
         if mask is not None:
             mask = jnp.asarray(mask, bool)
-        use_kernel = (
-            self.dtype == jnp.float32
-            and jax.default_backend() == "tpu"
-            and factored_pallas_ok(obs.shape[0], len(self.words))
+        exit_score, exit_start, exit_pred = self.lattice_records_arrays(
+            obs, mask
         )
-        if use_kernel:
-            exit_score, exit_start, exit_pred = self._lattice_fn_pallas(
-                obs, mask, self.inner_a, self.hop, self.log_pi_w,
-                self.log_final_w, self.exit_idx, self.state_map,
-                self.pad_mask, self.log_w, self.mu, self.cov,
-            )
-            # the kernel carries unreachable states at the finite NEG
-            # sentinel; the lattice builder filters by isfinite, so
-            # restore -inf (otherwise an early all-unreachable frame
-            # would mint V bogus tokens at -1e30)
-            exit_score = jnp.where(exit_score <= NEG / 2, -jnp.inf,
-                                   exit_score)
-        else:
-            exit_score, exit_start, exit_pred, _ = self._lattice_fn(
-                obs, mask, self.inner_a, self.hop, self.log_pi_w,
-                self.log_final_w, self.exit_idx, self.state_map,
-                self.pad_mask, self.log_w, self.mu, self.cov,
-            )
         n_valid = (
             obs.shape[0] if mask is None else int(np.asarray(mask).sum())
         )

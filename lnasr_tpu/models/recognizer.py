@@ -356,6 +356,71 @@ class Recognizer:
         n_valid = num_frames(n, cfg.frame_len, cfg.frame_step)
         return np.asarray(path), float(score), n_valid
 
+    @functools.cached_property
+    def _fused_lattice_fn(self):
+        """One jitted program per bucket shape for the N-best path:
+        padded samples in, lattice exit records out (frontend + the
+        lattice-recording kernel — see :attr:`_fused_segment_fn` for why
+        one dispatch matters)."""
+        import jax
+
+        from lnasr_tpu.models.mfcc import (
+            mfcc_features,
+            mfcc_features_fused,
+            use_fused_frontend,
+        )
+
+        cfg = self.am.mfcc.config
+        dtype = self.am.dtype
+        graph = self.graph
+        fused = use_fused_frontend(cfg)
+        interpret = jax.default_backend() != "tpu"
+
+        def fn(sig, length):
+            if fused:
+                feats_b, mask_b = mfcc_features_fused(
+                    sig[None], cfg, lengths=length[None],
+                    interpret=interpret, dtype=dtype,
+                )
+                feats, mask = feats_b[0], mask_b[0]
+            else:
+                res = mfcc_features(sig, cfg, length=length, dtype=dtype)
+                feats, mask = res.features, res.mask
+            return graph.lattice_records_arrays(feats, mask)
+
+        return jax.jit(fn)
+
+    def _segment_lattice(self, audio_seg, beam: float):
+        """Word lattice for one segment — one fused dispatch when
+        shape-bucketed, the two-step path otherwise."""
+        from lnasr_tpu.models.lattice import WordLattice
+
+        if not self.bucket_frames:
+            feats, mask = self._segment_features(audio_seg)
+            return self.graph.decode_lattice(feats, mask, beam=beam)
+        import jax.numpy as jnp
+
+        from lnasr_tpu.ops.framing import num_frames
+
+        cfg = self.am.mfcc.config
+        audio_seg = np.asarray(audio_seg)
+        bucket_samples = self.bucket_frames * cfg.frame_step
+        n = len(audio_seg)
+        n_pad = max(bucket_samples, -(-n // bucket_samples) * bucket_samples)
+        padded = np.zeros(n_pad, np.float32)
+        padded[:n] = audio_seg
+        score, start, pred = self._fused_lattice_fn(
+            jnp.asarray(padded), jnp.asarray(n, jnp.int32)
+        )
+        n_valid = num_frames(n, cfg.frame_len, cfg.frame_step)
+        graph = self.graph
+        return WordLattice.from_records(
+            graph.words, np.asarray(score)[:n_valid],
+            np.asarray(start)[:n_valid], np.asarray(pred)[:n_valid],
+            np.asarray(graph.hop), np.asarray(graph.log_pi_w),
+            np.asarray(graph.log_final_w), beam=beam,
+        )
+
     def decode_segment(self, audio_seg) -> Tuple[List[str], float]:
         """Features + composed-graph decode of one speech segment — a
         single fused dispatch when shape-bucketed (``bucket_frames``)."""
@@ -384,8 +449,7 @@ class Recognizer:
                 "N-best decoding needs the factored graph "
                 '(build the Recognizer with graph="factored")'
             )
-        feats, mask = self._segment_features(audio_seg)
-        lattice = self.graph.decode_lattice(feats, mask, beam=beam)
+        lattice = self._segment_lattice(audio_seg, beam)
         if rescore_lm is None:
             hyps = lattice.nbest(n)
         else:

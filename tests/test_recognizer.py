@@ -387,3 +387,20 @@ def test_word_time_alignment(trained_recognizer):
     frames = [(a, b) for _, a, b in align]
     assert all(a <= b for a, b in frames)
     assert all(b < a2 for (_, b), (a2, _) in zip(frames, frames[1:]))
+
+
+def test_nbest_bucketed_matches_unbucketed(trained_recognizer):
+    """The fused one-dispatch N-best path (bucket_frames) must produce the
+    same hypotheses and scores as the two-step exact-shape path."""
+    rec, rng = trained_recognizer
+    kwargs = dict(vad=None, graph="factored",
+                  decoder_config=DecoderConfig(lm_scale=0.5))
+    fact = Recognizer(rec.am, rec.lexicon, rec.lm, **kwargs)
+    fact_b = Recognizer(rec.am, rec.lexicon, rec.lm, bucket_frames=64,
+                        **kwargs)
+    audio = _utterance(["mid", "low", "high"], rng, gap=0.12)
+    ref = fact.decode_segment_nbest(audio, n=3)
+    got = fact_b.decode_segment_nbest(audio, n=3)
+    assert [h.words for h in got] == [h.words for h in ref]
+    for g, r in zip(got, ref):
+        assert abs(g.score - r.score) < 1e-3, (g.score, r.score)
