@@ -317,12 +317,18 @@ def _cmd_recognize(args) -> int:
                 file=sys.stderr,
             )
         graph = "factored"
+    if args.bucket_frames and am.mfcc.config.mean_norm:
+        print("error: --bucket-frames needs an acoustic model trained "
+              "without --mean-norm (padded frames must not shift "
+              "per-utterance statistics)", file=sys.stderr)
+        return 2
     rec = Recognizer(
         am, lexicon, lm, vad=vad, graph=graph,
         decoder_config=DecoderConfig(
             lm_scale=args.lm_scale,
             word_insertion_penalty=args.word_penalty,
         ),
+        bucket_frames=args.bucket_frames,
     )
     audio = _read_audio(args.audio, sr)
     if args.nbest > 1 or args.rescore_lm or args.confidence:
@@ -473,6 +479,12 @@ def main(argv=None) -> int:
                         "(time\tword\tstart\tend, stderr)")
     p.add_argument("--ref", default=None,
                    help="reference transcript; prints a WER report to stderr")
+    p.add_argument("--bucket-frames", type=int, default=0,
+                   help="shape-bucketed serving: pad each segment's frame "
+                        "count to a multiple of this, so decoding compiles "
+                        "one fused program per bucket instead of one per "
+                        "segment length (recommended 128 with --tpu; "
+                        "requires a model trained without --mean-norm)")
     p.add_argument("--tpu", action="store_true",
                    help="run on the accelerator (default: pin host CPU)")
     p.set_defaults(fn=_cmd_recognize)

@@ -242,3 +242,22 @@ def test_cli_vad_plot(tmp_path, vad_audio):
     rc = cli_main(["vad", str(wav), "--plot", str(png)])
     assert rc == 0
     assert png.stat().st_size > 10_000
+
+
+def test_cli_recognize_bucketed(cli_models, capsys):
+    """--bucket-frames serving path through the CLI: same transcript."""
+    tmp, amdir, lex, lm, rng = cli_models
+    upath = tmp / "bucketed.pcm"
+    write_pcm(str(upath), np.concatenate(
+        [_gap(rng, 0.2), _word_audio("low", rng), _gap(rng, 0.2),
+         _word_audio("high", rng), _gap(rng, 0.2)]))
+    rc = cli_main(["recognize", str(upath), "--am", amdir, "--lex", lex,
+                   "--lm", lm, "--lm-scale", "0.5"])
+    assert rc == 0
+    plain = capsys.readouterr().out.strip().splitlines()[-1]
+    rc = cli_main(["recognize", str(upath), "--am", amdir, "--lex", lex,
+                   "--lm", lm, "--lm-scale", "0.5",
+                   "--bucket-frames", "64"])
+    assert rc == 0
+    bucketed = capsys.readouterr().out.strip().splitlines()[-1]
+    assert bucketed == plain
