@@ -191,3 +191,51 @@ def test_lattice_kernel_lowers_and_matches_scan():
     np.testing.assert_array_equal(
         np.maximum(np.asarray(ref_s), NEG), np.maximum(np.asarray(got_s), NEG)
     )
+
+
+def test_fused_serving_programs_lower():
+    """The serving path's ONE-dispatch programs — fused Pallas frontend +
+    graph kernel under a single jit (Recognizer._fused_segment_fn /
+    _fused_lattice_fn) — must compile and run on hardware; bench.py only
+    exercises the pieces separately."""
+    from lnasr_tpu.config import GMMHMMConfig, MFCCConfig
+    from lnasr_tpu.models.lexicon import Lexicon
+    from lnasr_tpu.models.recognizer import (
+        AcousticModel,
+        Recognizer,
+        train_unit_models,
+    )
+
+    rng = _rng()
+    sr = 16000
+
+    def tone(f0, dur=0.4):
+        t = np.arange(int(sr * dur)) / sr
+        x = np.sin(2 * np.pi * f0 * t) * np.hanning(len(t)) * 9000
+        return (x + rng.normal(0, 50, len(t))).astype(np.int16)
+
+    mfcc_cfg = MFCCConfig(energy_floor=1e-10, mean_norm=False)
+    am = AcousticModel(mfcc_config=mfcc_cfg)
+    feats = lambda x: np.asarray(am.mfcc.features_fast(x)[0])  # noqa: E731
+    examples = {
+        "lo": [feats(tone(300)) for _ in range(3)],
+        "hi": [feats(tone(1200)) for _ in range(3)],
+    }
+    cfg = GMMHMMConfig(n_states=3, n_mix=1, dim=39)
+    am.units = train_unit_models(examples, cfg, iters=3)
+    lex = Lexicon({"lo": ["lo"], "hi": ["hi"]})
+    test_audio = tone(300)
+    for graph in ("dense", "factored"):
+        # fused one-dispatch program vs the two-step path ON DEVICE —
+        # this asserts the lowering and cross-program consistency, not
+        # the toy model's acoustics
+        rec_b = Recognizer(am, lex, graph=graph, bucket_frames=64)
+        rec_u = Recognizer(am, lex, graph=graph)
+        words_b, score_b = rec_b.decode_segment(test_audio)
+        words_u, score_u = rec_u.decode_segment(test_audio)
+        assert words_b == words_u, (graph, words_b, words_u)
+        assert np.isfinite(score_b) and np.isfinite(score_u)
+    rec_f = Recognizer(am, lex, graph="factored", bucket_frames=64)
+    hyps = rec_f.decode_segment_nbest(test_audio, n=2)
+    best_words, _ = rec_f.decode_segment(test_audio)
+    assert hyps and hyps[0].words == best_words
