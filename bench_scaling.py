@@ -202,6 +202,92 @@ def run_mp(device_counts, batch: int, t_frames: int, steps: int):
     return rows
 
 
+def run_decode(device_counts, per_device_batch: int, t_frames: int,
+               steps: int):
+    """Weak-scaling of the DP-sharded batched decode
+    (:func:`lnasr_tpu.parallel.decode_batch_sharded`'s jitted core): a
+    100-word factored graph replicated, the segment batch sharded over
+    ``data`` — the multi-chip serving path."""
+    import types
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from lnasr_tpu.config import GMMHMMConfig
+    from lnasr_tpu.models.decoder import DecoderConfig, FactoredDecodingGraph
+    from lnasr_tpu.models.lexicon import Lexicon
+    from lnasr_tpu.parallel import make_dp_decode_step, make_mesh, mesh_shape_for
+
+    rng = np.random.default_rng(2)
+    v, dim, n_states = 100, 8, 3
+    cfg = GMMHMMConfig(n_states=n_states, n_mix=1, dim=dim)
+    means = rng.normal(scale=20.0, size=(v, dim))
+    with np.errstate(divide="ignore"):
+        log_a = np.log(
+            np.where(np.eye(n_states) + np.eye(n_states, k=1) > 0, 0.5, 0.0)
+        ).astype(np.float32)
+    units = {
+        f"w{i:03d}": types.SimpleNamespace(
+            n=n_states, config=cfg, log_a=log_a,
+            log_w=np.zeros((n_states, 1), np.float32),
+            mu=(means[i][None, None, :]
+                + rng.normal(scale=0.3, size=(n_states, 1, dim))
+                ).astype(np.float32),
+            cov=np.full((n_states, 1, dim), 0.1, np.float32),
+        )
+        for i in range(v)
+    }
+    graph = FactoredDecodingGraph.build(
+        Lexicon.whole_word(sorted(units)), units, None,
+        DecoderConfig(loop=True), dtype=jnp.float32,
+    )
+    rows = []
+    t1 = None
+    for n in device_counts:
+        mesh = make_mesh(mesh_shape_for(n, data=n),
+                         devices=jax.devices()[:n])
+        b = n * per_device_batch
+        feats = jax.device_put(
+            jnp.asarray(rng.normal(scale=20.0, size=(b, t_frames, dim))
+                        .astype(np.float32)),
+            NamedSharding(mesh, P("data", None, None)),
+        )
+        masks = jax.device_put(jnp.ones((b, t_frames), bool),
+                               NamedSharding(mesh, P("data", None)))
+        step = make_dp_decode_step(mesh, graph)
+        paths, scores = step(feats, masks)  # compile + warm
+        jax.block_until_ready(scores)
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            paths, scores = step(feats, masks)
+        jax.block_until_ready(scores)
+        dt = (time.perf_counter() - t0) / steps
+        if t1 is None:
+            t1 = dt
+        rows.append({
+            "devices": n,
+            "per_device_batch": per_device_batch,
+            "vocab": v,
+            "step_seconds": round(dt, 6),
+            "segments_per_s": round(b / dt, 2),
+            "weak_scaling_efficiency": round(t1 / dt, 3),
+        })
+        print(json.dumps(rows[-1]))
+    cores = os.cpu_count() or 1
+    rows.append({
+        "note": f"virtual devices share {cores} host cores and the decode "
+                "is compute-bound, so weak scaling here is bounded by "
+                f"cores/devices ({cores}/{max(device_counts)} = "
+                f"{cores / max(device_counts):.2f} at the widest mesh); "
+                "the rows demonstrate the sharded serving path executes "
+                "with replicated graphs, not chip-level scaling (no "
+                "multi-chip hardware attached)"
+    })
+    return rows
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--devices", default="1,2,4,8")
@@ -214,10 +300,12 @@ def main(argv=None) -> int:
     _setup_devices(max(counts))
     rows, summary = run(counts, args.batch, args.t, args.steps)
     mp_rows = run_mp(counts, args.batch, args.t, args.steps)
+    decode_rows = run_decode(counts, args.batch, args.t, args.steps)
     if args.out:
         with open(args.out, "w", encoding="utf-8") as fp:
             json.dump({"rows": rows, "summary": summary,
-                       "model_parallel_rows": mp_rows}, fp, indent=2)
+                       "model_parallel_rows": mp_rows,
+                       "dp_decode_rows": decode_rows}, fp, indent=2)
     return 0
 
 
