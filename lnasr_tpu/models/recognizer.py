@@ -283,21 +283,28 @@ class Recognizer:
         ]
         return words, score, times
 
+    def _pad_to_bucket(self, audio_seg, dtype=np.float32):
+        """Zero-pad a segment onto the bucket grid: ``(padded, n_samples,
+        n_valid_frames)``."""
+        from lnasr_tpu.ops.framing import num_frames
+
+        cfg = self.am.mfcc.config
+        audio_seg = np.asarray(audio_seg)
+        bucket_samples = self.bucket_frames * cfg.frame_step
+        n = len(audio_seg)
+        n_pad = max(bucket_samples, -(-n // bucket_samples) * bucket_samples)
+        padded = np.zeros(n_pad, dtype=dtype)
+        padded[:n] = audio_seg
+        return padded, n, num_frames(n, cfg.frame_len, cfg.frame_step)
+
     def _segment_features(self, audio_seg):
         """Features (+ validity mask when shape-bucketed) for one segment."""
         audio_seg = np.asarray(audio_seg)
         if not self.bucket_frames:
             return self.am.features(audio_seg), None
-        from lnasr_tpu.ops.framing import num_frames
-
-        cfg = self.am.mfcc.config
-        bucket_samples = self.bucket_frames * cfg.frame_step
-        n = len(audio_seg)
-        n_pad = max(bucket_samples, -(-n // bucket_samples) * bucket_samples)
-        padded = np.zeros(n_pad, dtype=audio_seg.dtype)
-        padded[:n] = audio_seg
+        padded, n, n_valid = self._pad_to_bucket(audio_seg,
+                                                 dtype=audio_seg.dtype)
         feats = self.am.features(padded)
-        n_valid = num_frames(n, cfg.frame_len, cfg.frame_step)
         mask = np.arange(feats.shape[0]) < n_valid
         return feats, mask
 
@@ -341,19 +348,10 @@ class Recognizer:
         """Bucket-padded fused decode: returns ``(path, score, n_valid)``."""
         import jax.numpy as jnp
 
-        cfg = self.am.mfcc.config
-        audio_seg = np.asarray(audio_seg)
-        bucket_samples = self.bucket_frames * cfg.frame_step
-        n = len(audio_seg)
-        n_pad = max(bucket_samples, -(-n // bucket_samples) * bucket_samples)
-        padded = np.zeros(n_pad, np.float32)
-        padded[:n] = audio_seg
+        padded, n, n_valid = self._pad_to_bucket(audio_seg)
         path, score = self._fused_segment_fn(
             jnp.asarray(padded), jnp.asarray(n, jnp.int32)
         )
-        from lnasr_tpu.ops.framing import num_frames
-
-        n_valid = num_frames(n, cfg.frame_len, cfg.frame_step)
         return np.asarray(path), float(score), n_valid
 
     @functools.cached_property
@@ -400,19 +398,10 @@ class Recognizer:
             return self.graph.decode_lattice(feats, mask, beam=beam)
         import jax.numpy as jnp
 
-        from lnasr_tpu.ops.framing import num_frames
-
-        cfg = self.am.mfcc.config
-        audio_seg = np.asarray(audio_seg)
-        bucket_samples = self.bucket_frames * cfg.frame_step
-        n = len(audio_seg)
-        n_pad = max(bucket_samples, -(-n // bucket_samples) * bucket_samples)
-        padded = np.zeros(n_pad, np.float32)
-        padded[:n] = audio_seg
+        padded, n, n_valid = self._pad_to_bucket(audio_seg)
         score, start, pred = self._fused_lattice_fn(
             jnp.asarray(padded), jnp.asarray(n, jnp.int32)
         )
-        n_valid = num_frames(n, cfg.frame_len, cfg.frame_step)
         graph = self.graph
         return WordLattice.from_records(
             graph.words, np.asarray(score)[:n_valid],
