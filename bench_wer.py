@@ -100,7 +100,7 @@ def main() -> int:
     real_audio_demo.main()
     report = dict(real_audio_demo.main.last_report)
     report["metric"] = ("WER (real-audio connected-word e2e, fixed seed; "
-                        "clean / 20 dB / 10 dB SNR)")
+                        "clean / 20 dB / 10 dB SNR / reverb)")
     report["value"] = report["wer"]
 
     prev = previous_report(this_round)

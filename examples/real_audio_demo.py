@@ -19,8 +19,9 @@ gate "statistical power: none" — 3 words, 10 reference words, pass bar
    background unit from the recordings' own noise floor.
 3. Build 20 connected test utterances (≥100 reference words) from
    held-out copies (gain + offset only) with real gap audio between
-   words, and decode each under THREE conditions — clean, 20 dB SNR,
-   10 dB SNR additive noise — through the public ``Recognizer`` API
+   words, and decode each under FOUR conditions — clean, 20 dB SNR,
+   10 dB SNR additive noise, and (unmatched) reverberation — through
+   the public ``Recognizer`` API
    (shape-bucketed; the model/LM/lexicon all come from CLI-produced
    files).
 4. Report per-condition WER. ``bench_wer.py`` gates on regression
@@ -50,8 +51,24 @@ FIXTURES = [
     "/root/reference/test/third/data-vad.raw",
     "/root/reference/test/data.raw",
 ]
-CONDITIONS = [("clean", None), ("snr20", 20.0), ("snr10", 10.0)]
+CONDITIONS = [("clean", None), ("snr20", 20.0), ("snr10", 10.0),
+              ("reverb", "reverb")]
 N_TEST_UTTS = 20
+
+
+def add_reverb(x: np.ndarray, rng, rt60_s: float = 0.3) -> np.ndarray:
+    """Convolve with a synthetic exponential-decay room impulse response
+    (unmatched degradation family: the models never see reverb in
+    training, so this row probes robustness, not matched-condition
+    accuracy; it does not feed the gate)."""
+    n_rir = int(SR * rt60_s)
+    t = np.arange(n_rir) / SR
+    rir = rng.normal(0.0, 1.0, n_rir) * np.exp(-6.9 * t / rt60_s)
+    rir[0] = 1.0  # direct path
+    rir /= np.sqrt(np.sum(rir**2))
+    y = np.convolve(x.astype(np.float64), rir)[: len(x)]
+    y *= np.sqrt(np.mean(x.astype(np.float64) ** 2) / max(np.mean(y**2), 1e-9))
+    return np.clip(y, -32768, 32767).astype(np.int16)
 
 
 def cli(*args: str) -> str:
@@ -237,7 +254,10 @@ def main(workdir=None) -> float:
     for cond, snr in CONDITIONS:
         total = {"err": 0, "n": 0}
         for u, (truth, clean) in enumerate(utts):
-            noisy = add_noise(clean, snr, noise_rng, ref_rms=speech_rms)
+            if snr == "reverb":
+                noisy = add_reverb(clean, noise_rng)
+            else:
+                noisy = add_noise(clean, snr, noise_rng, ref_rms=speech_rms)
             hyp = rec.recognize(noisy).split()
             d = wer_details(truth, hyp)
             total["err"] += d["sub"] + d["ins"] + d["del"]
@@ -247,7 +267,7 @@ def main(workdir=None) -> float:
                                 "wer": round(d["wer"], 4)})
         conditions[cond] = {
             "wer": round(total["err"] / total["n"], 4),
-            "snr_db": snr,
+            "snr_db": None if snr == "reverb" else snr,
             "n_ref_words": total["n"],
         }
         print(f"{cond:6s}: WER {conditions[cond]['wer']:.3f} "
