@@ -268,3 +268,53 @@ def test_lattice_kernel_masked():
     np.testing.assert_array_equal(
         np.maximum(np.asarray(ref_s), NEG), np.maximum(np.asarray(got_s), NEG)
     )
+
+
+def test_fused_decode_and_lattice_under_exact_ties():
+    """Adversarial tie coverage: uniform emissions, identical hops and
+    symmetric transitions make nearly every max a tie — the kernels'
+    min-index selects must reproduce the scan's first-max/strict-hop
+    tie-breaking exactly (random-float tests never exercise this)."""
+    from lnasr_tpu.models.decoder import factored_lattice_scan
+    from lnasr_tpu.ops.factored_pallas import (
+        factored_decode_pallas,
+        factored_lattice_pallas,
+    )
+    from lnasr_tpu.ops.trellis_pallas import NEG
+
+    v, s, t = 7, 3, 23
+    pi = np.full((v, s), -np.inf, np.float32)
+    pi[:, 0] = 0.0  # every word equally likely
+    inner = np.full((v, s, s), -np.inf, np.float32)
+    for j in range(s):
+        inner[:, j, j] = np.log(0.5)
+        if j + 1 < s:
+            inner[:, j, j + 1] = np.log(0.5)  # stay == advance: tie
+    exit_idx = np.full(v, s - 1, np.int32)
+    hop = np.zeros((v, v), np.float32)  # all hops identical
+    log_b = np.zeros((t, v, s), np.float32)  # all emissions identical
+    fin = np.zeros((v, s), np.float32)
+
+    log_b_j = jnp.asarray(log_b)
+    args = (jnp.asarray(pi), jnp.asarray(inner), exit_idx, jnp.asarray(hop))
+
+    from lnasr_tpu.models.decoder import factored_trellis_scan
+
+    ref_path, ref_score = factored_trellis_scan(
+        log_b_j, args[1], args[3], args[0], jnp.asarray(fin), jnp.asarray(exit_idx)
+    )
+    got_path, got_score = factored_decode_pallas(
+        *args, log_b_j, jnp.asarray(fin), interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(got_path), np.asarray(ref_path))
+    assert float(got_score) == float(ref_score)
+
+    rs, rst, rp, _ = factored_lattice_scan(
+        log_b_j, args[1], args[3], args[0], jnp.asarray(exit_idx)
+    )
+    gs, gst, gp = factored_lattice_pallas(*args, log_b_j, interpret=True)
+    np.testing.assert_array_equal(np.asarray(gst), np.asarray(rst))
+    np.testing.assert_array_equal(np.asarray(gp), np.asarray(rp))
+    np.testing.assert_array_equal(
+        np.maximum(np.asarray(rs), NEG), np.maximum(np.asarray(gs), NEG)
+    )
