@@ -125,3 +125,24 @@ def test_batched_dispatch_fallback():
     ref = _ref(log_pi, log_a, log_b)
     np.testing.assert_array_equal(np.asarray(path), np.asarray(ref.path))
     np.testing.assert_allclose(np.asarray(score), np.asarray(ref.score), rtol=1e-5)
+
+
+def test_kernels_under_exact_ties():
+    """All-ties adversarial case for the small-N and dense kernels: zero
+    emissions and symmetric transitions tie every max; paths must still
+    match the scan's first-max selections bit for bit."""
+    n, t, b = 6, 19, 5
+    log_pi = jnp.zeros((n,), jnp.float32)
+    log_a = jnp.zeros((n, n), jnp.float32)  # every transition ties
+    log_b_b = jnp.zeros((b, t, n), jnp.float32)
+
+    path, score = viterbi_pallas(log_pi, log_a, log_b_b, interpret=True)
+    ref = jax.vmap(lambda lb: viterbi_scan(log_pi, log_a, lb))(log_b_b)
+    np.testing.assert_array_equal(np.asarray(path), np.asarray(ref.path))
+
+    log_b_d = jnp.zeros((t, n), jnp.float32)
+    path_d, score_d = viterbi_pallas_dense(log_pi, log_a, log_b_d,
+                                           interpret=True)
+    ref_d = viterbi_scan(log_pi, log_a, log_b_d)
+    np.testing.assert_array_equal(np.asarray(path_d), np.asarray(ref_d.path))
+    assert float(score_d) == float(ref_d.score)
