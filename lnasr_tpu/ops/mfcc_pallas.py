@@ -64,7 +64,9 @@ _LANE = 128
 # frames per program. Swept on v5e per kernel revision: with the
 # K-aligned single-GEMM layout 256 measures best (0.953 ms vs 0.971 at
 # 128 and 0.968 at 512 for B=64 x 10 s); the old row-group layout
-# preferred 128.
+# preferred 128. Round-4 re-sweep (radix-4 + unrolled era): 128 -> 878,
+# 256 -> 757, 512 -> 747 us — 512's 1.3% is inside tunnel jitter and
+# would pad every 128-frame serving bucket to 512 frames, so 256 stays.
 TILE_T = 256
 
 
