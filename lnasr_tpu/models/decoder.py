@@ -36,7 +36,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
-from typing import Dict, List, Mapping, Optional, Sequence, Tuple
+from typing import Dict, List, Mapping, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -73,6 +73,82 @@ def dense_viterbi(log_pi, log_a, log_b, log_final=None, mask=None):
 _LN10 = math.log(10.0)
 
 SILENCE = "<sil>"
+
+
+class HopFactors(NamedTuple):
+    """Backoff-factored word-hop scores — the large-vocabulary form of the
+    ``(V, V)`` hop matrix.
+
+    A Katz-backoff bigram table is rank-1-plus-sparse by construction
+    (``NGramModel.score_table``: ``alpha[i] + uni[j]`` overwritten at seen
+    bigrams), so the max-plus word-hop reduction decomposes as
+
+        entry[w] = max( max_v(exit[v] + from_w[v]) + uni[w],      # rank-1
+                        max_k exit[pred[w, k]] + val[w, k] )      # sparse
+
+    O(V + E) work and memory per frame instead of O(V^2) — the 100 MB/
+    frame HBM stream a dense 5k-word hop costs simply does not exist.
+    Semantics: seen-bigram arc scores are clamped to at least their own
+    backoff estimate (``val >= from_w[src] + uni[dst]``), i.e. the
+    standard WFST epsilon-backoff approximation ``max(explicit,
+    backoff)``; the builder reports how many arcs the clamp changed
+    (typically zero — discounted explicit probabilities normally exceed
+    their backoff estimates) and exact parity with a same-clamped dense
+    graph is tested.
+
+    ``from_w``/``uni`` fold the exit penalty, LM scale and word-insertion
+    penalty; silence (no LM score, no penalty, unigram rule out of the
+    gap) rides ``sil_from``/``sil_idx``. ``pred``/``val`` are the
+    per-destination predecessor lists padded to the max in-degree K.
+    A NamedTuple of arrays: a pytree, so it flows through jit/vmap
+    wherever the dense matrix did.
+    """
+
+    from_w: jax.Array  # (V,) per-source add-on (alpha' + exit + wip)
+    uni: jax.Array  # (V,) per-destination add-on; -inf at silence
+    sil_from: jax.Array  # (V,) score of entering silence; -inf rows if none
+    sil_idx: jax.Array  # () int32 silence word id, -1 when absent
+    pred: jax.Array  # (V, K) int32 seen-bigram predecessors (padded 0)
+    val: jax.Array  # (V, K) clamped arc scores (padded -inf)
+
+
+def _hop_entry(exit_v, hop):
+    """Word-entry reduction ``entry[w] = max_v exit_v[v] + hop[v, w]`` with
+    its argmax source — dense ``(V, V)`` matrix or :class:`HopFactors`.
+
+    The factored argmax reproduces the dense first-index tie rule: the
+    rank-1 family's achiever is ``argmax(base)`` (lowest index), the
+    sparse family's is the lowest achieving predecessor, and the overall
+    source is the minimum of the achieving families' sources."""
+    if isinstance(hop, HopFactors):
+        big = jnp.int32(hop.from_w.shape[0] + 1)
+        base = exit_v + hop.from_w
+        m1 = jnp.max(base)
+        a1 = jnp.argmax(base).astype(jnp.int32)
+        r1 = m1 + hop.uni  # (V,)
+        cand = exit_v[hop.pred] + hop.val  # (V, K)
+        sp = jnp.max(cand, axis=1)
+        sp_src = jnp.min(
+            jnp.where(cand == sp[:, None], hop.pred, big), axis=1
+        ).astype(jnp.int32)
+        entry = jnp.maximum(r1, sp)
+        esrc = jnp.minimum(
+            jnp.where(r1 >= entry, a1, big),
+            jnp.where(sp >= entry, sp_src, big),
+        ).astype(jnp.int32)
+        base2 = exit_v + hop.sil_from
+        m2 = jnp.max(base2)
+        a2 = jnp.argmax(base2).astype(jnp.int32)
+        has_sil = hop.sil_idx >= 0
+        sil = jnp.maximum(hop.sil_idx, 0)
+        entry = jnp.where(has_sil, entry.at[sil].set(m2), entry)
+        esrc = jnp.where(has_sil, esrc.at[sil].set(a2), esrc)
+        return entry, esrc
+    cand_hop = exit_v[:, None] + hop  # (V, V): [from, to]
+    return (jnp.max(cand_hop, axis=0),
+            jnp.argmax(cand_hop, axis=0).astype(jnp.int32))
+
+
 
 
 def _word_lm_scores(
@@ -123,6 +199,148 @@ def _word_lm_scores(
     pi_w[is_sil] = 0.0
     final_w[is_sil] = 0.0
     return pi_w, final_w, hop
+
+
+def _word_lm_factors(
+    words: Sequence[str],
+    lm: Optional[NGramModel],
+    config: "DecoderConfig",
+) -> Tuple[np.ndarray, np.ndarray, "HopFactors", int]:
+    """Backoff-factored equivalent of :func:`_word_lm_scores`: returns
+    ``(log_pi_w, log_final_w, HopFactors-as-numpy, n_clamped)`` with the
+    same composition semantics (silence unigram rule, free silence entry,
+    no sil->sil hop) but O(V + E) memory — the (V, V) matrix is never
+    materialized, on host or device. ``n_clamped`` counts seen bigram
+    arcs whose explicit score fell below their own backoff estimate and
+    was raised to it (the max-semantics approximation; normally zero)."""
+    v = len(words)
+    is_sil = np.array([w == SILENCE for w in words])
+    real = [w for w in words if w != SILENCE]
+    n_real = len(real)
+    scale = config.lm_scale * _LN10
+    add = config.exit_logp + config.word_insertion_penalty
+
+    if lm is None:
+        flat = -math.log(n_real)
+        uni = np.full(v, flat)
+        alpha = np.zeros(v)
+        pi_w = np.full(v, flat)
+        final_w = np.zeros(v)
+        edges: List[Tuple[int, int, float]] = []
+    else:
+        if lm.order < 2:
+            raise ValueError("hop factors require a bigram or higher model")
+        bigram = lm._level(2)
+        unigram = bigram.backoff
+        idx = {w: i for i, w in enumerate(words)}
+        uni = scale * np.array([unigram.logprob(w, ()) for w in words])
+        alpha = scale * np.array(
+            [bigram.prob_bo.get((w,), 0.0) for w in words]
+        )
+        tbl_bos_eos = scale * np.array(
+            [[bigram.logprob(w, (BOS,)) for w in words],
+             [bigram.logprob(EOS, (w,)) if _has_eos(lm) else 0.0
+              for w in words]]
+        )
+        pi_w = tbl_bos_eos[0].copy()
+        final_w = tbl_bos_eos[1].copy() if _has_eos(lm) else np.zeros(v)
+        edges = []
+        for ngram, p in bigram.prob.items():
+            i, j = idx.get(ngram[0]), idx.get(ngram[1])
+            if i is not None and j is not None and not (is_sil[i] or is_sil[j]):
+                edges.append((i, j, scale * p + add))
+
+    from_w = alpha + add
+    from_w[is_sil] = add  # unigram rule out of silence (alpha plays no part)
+    uni_dst = uni.copy()
+    uni_dst[is_sil] = -np.inf  # silence entry rides sil_from instead
+    sil_from = np.where(is_sil, -np.inf, config.exit_logp)
+    sil_idx = int(np.flatnonzero(is_sil)[0]) if is_sil.any() else -1
+    if sil_idx < 0:
+        sil_from = np.full(v, -np.inf)
+    pi_w = pi_w.copy()
+    final_w = final_w.copy()
+    pi_w[is_sil] = 0.0
+    final_w[is_sil] = 0.0
+
+    # per-destination predecessor lists, clamped to the backoff estimate
+    n_clamped = 0
+    by_dst: Dict[int, List[Tuple[int, float]]] = {}
+    for i, j, val in edges:
+        backoff = from_w[i] + uni_dst[j]
+        if val < backoff:
+            n_clamped += 1
+            val = backoff
+        by_dst.setdefault(j, []).append((i, val))
+    k_max = max((len(p) for p in by_dst.values()), default=1)
+    pred = np.zeros((v, k_max), np.int32)
+    val_arr = np.full((v, k_max), -np.inf)
+    for j, plist in by_dst.items():
+        plist.sort()  # by source id: stable, reproducible layout
+        for k, (i, val) in enumerate(plist):
+            pred[j, k] = i
+            val_arr[j, k] = val
+    factors = HopFactors(
+        from_w=from_w, uni=uni_dst, sil_from=sil_from,
+        sil_idx=np.int32(sil_idx), pred=pred, val=val_arr,
+    )
+    return pi_w, final_w, factors, n_clamped
+
+
+class HostBackoffHop:
+    """Host-side (NumPy) accessor with dense-hop semantics over
+    :class:`HopFactors` — what the word-lattice builder and N-best/
+    posterior passes index instead of a ``(V, V)`` matrix. Lookups are
+    O(in-degree) per destination via the same clamped max semantics the
+    device search used, so lattice scores match the search exactly."""
+
+    def __init__(self, factors: HopFactors):
+        self.from_w = np.asarray(factors.from_w, np.float64)
+        self.uni = np.asarray(factors.uni, np.float64)
+        self.sil_from = np.asarray(factors.sil_from, np.float64)
+        self.sil_idx = int(factors.sil_idx)
+        self.pred = np.asarray(factors.pred)
+        self.val = np.asarray(factors.val, np.float64)
+        self.shape = (len(self.from_w), len(self.from_w))
+        # per-destination sparse map for vectorized block lookups
+        self._dst_map: Dict[int, Dict[int, float]] = {
+            j: {
+                int(s): float(x)
+                for s, x in zip(self.pred[j], self.val[j])
+                if np.isfinite(x)
+            }
+            for j in range(self.shape[0])
+        }
+
+    def block(self, rows: np.ndarray, cols: np.ndarray) -> np.ndarray:
+        """Dense ``(len(rows), len(cols))`` hop block."""
+        rows = np.asarray(rows)
+        cols = np.asarray(cols)
+        out = self.from_w[rows][:, None] + self.uni[cols][None, :]
+        row_pos = {int(r): i for i, r in enumerate(rows)}
+        for cj, c in enumerate(cols):
+            c = int(c)
+            if c == self.sil_idx:
+                out[:, cj] = self.sil_from[rows]
+                continue
+            for s, x in self._dst_map.get(c, {}).items():
+                i = row_pos.get(s)
+                if i is not None:
+                    out[i, cj] = max(out[i, cj], x)
+        return out
+
+    def pair(self, src: int, dst: int) -> float:
+        dst = int(dst)
+        src = int(src)
+        if dst == self.sil_idx:
+            return float(self.sil_from[src])
+        base = float(self.from_w[src] + self.uni[dst])
+        return max(base, self._dst_map.get(dst, {}).get(src, -np.inf))
+
+    def dense(self) -> np.ndarray:
+        """Materialize the full matrix (tests / small-V tooling only)."""
+        v = self.shape[0]
+        return self.block(np.arange(v), np.arange(v))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -498,9 +716,7 @@ def factored_trellis_scan(log_b, inner_a, hop, pi_grid, final_grid, exit_idx,
             exit_v = jnp.take_along_axis(
                 vgrid, exit_idx[:, None].astype(jnp.int32), axis=1
             )[:, 0]
-            cand_hop = exit_v[:, None] + hop  # (V, V): [from, to]
-            entry = jnp.max(cand_hop, axis=0)
-            esrc = jnp.argmax(cand_hop, axis=0).astype(jnp.int32)
+            entry, esrc = _hop_entry(exit_v, hop)  # dense or backoff-factored
             hop_wins = entry > within[:, 0]
             within = within.at[:, 0].set(jnp.maximum(within[:, 0], entry))
             bt_entry = jnp.where(
@@ -570,9 +786,7 @@ def factored_lattice_scan(log_b, inner_a, hop, pi_grid, exit_idx, mask=None):
         new_pred = jnp.take_along_axis(pred, wsrc, axis=1)
 
         exit_v = jnp.take_along_axis(vgrid, exit_i32[:, None], axis=1)[:, 0]
-        cand_hop = exit_v[:, None] + hop  # (V, V): [from, to]
-        entry = jnp.max(cand_hop, axis=0)
-        esrc = jnp.argmax(cand_hop, axis=0).astype(jnp.int32)
+        entry, esrc = _hop_entry(exit_v, hop)  # dense or backoff-factored
         hop_wins = entry > within[:, 0]
         within = within.at[:, 0].set(jnp.maximum(within[:, 0], entry))
         new_start = new_start.at[:, 0].set(
@@ -631,6 +845,10 @@ class FactoredDecodingGraph:
     """
 
     SILENCE = SILENCE
+    # "auto" hop_mode switches to backoff factors past this vocabulary:
+    # the dense (V, V) matrix both exceeds the fused kernels' VMEM budget
+    # (factored_pallas_ok) and costs O(V^2) HBM traffic per frame
+    DENSE_HOP_LIMIT = 1792
 
     def __init__(
         self,
@@ -641,7 +859,7 @@ class FactoredDecodingGraph:
         pad_mask: np.ndarray,  # (V, S) True for real states
         log_pi_w: np.ndarray,  # (V,)
         log_final_w: np.ndarray,  # (V,)
-        hop: Optional[np.ndarray],  # (V, V), None when loop=False
+        hop,  # (V, V) array, HopFactors (backoff mode), or None (loop=False)
         emission_params: Tuple[np.ndarray, np.ndarray, np.ndarray],
         cov_type: str,
         dtype=jnp.float32,
@@ -656,7 +874,20 @@ class FactoredDecodingGraph:
         self.pad_mask = jnp.asarray(pad_mask)
         self.log_pi_w = jnp.asarray(log_pi_w, dtype)
         self.log_final_w = jnp.asarray(log_final_w, dtype)
-        self.hop = None if hop is None else jnp.asarray(hop, dtype)
+        if hop is None:
+            self.hop = None
+        elif isinstance(hop, HopFactors):
+            self.hop = HopFactors(
+                from_w=jnp.asarray(hop.from_w, dtype),
+                uni=jnp.asarray(hop.uni, dtype),
+                sil_from=jnp.asarray(hop.sil_from, dtype),
+                sil_idx=jnp.asarray(hop.sil_idx, jnp.int32),
+                pred=jnp.asarray(hop.pred, jnp.int32),
+                val=jnp.asarray(hop.val, dtype),
+            )
+        else:
+            self.hop = jnp.asarray(hop, dtype)
+        self.hop_clamped = 0  # set by build() in backoff mode
         log_w, mu, cov = emission_params
         self.log_w = jnp.asarray(log_w, dtype)
         self.mu = jnp.asarray(mu, dtype)
@@ -671,9 +902,16 @@ class FactoredDecodingGraph:
         config: DecoderConfig = DecoderConfig(),
         silence_model: Optional[GMMHMM] = None,
         dtype=jnp.float32,
+        hop_mode: str = "auto",
     ) -> "FactoredDecodingGraph":
         """Compose the factored graph (same inputs and semantics as
-        :meth:`DecodingGraph.build`)."""
+        :meth:`DecodingGraph.build`).
+
+        ``hop_mode`` selects the word-hop realization: ``"dense"`` — the
+        ``(V, V)`` matrix; ``"backoff"`` — :class:`HopFactors` (rank-1 +
+        sparse seen bigrams, O(V + E) memory, the large-vocabulary form);
+        ``"auto"`` — dense up to :data:`DENSE_HOP_LIMIT` words (where the
+        fused Pallas kernels keep it VMEM-resident), backoff beyond."""
         some_model = next(iter(unit_models.values()))
         cov_type = some_model.config.cov_type
         words, blocks, emission_params, state_offsets = _compose_words(
@@ -695,11 +933,23 @@ class FactoredDecodingGraph:
         # NB: a silence model's own last->first arc (the dense builder's
         # preserved sil->sil cell) lives inside its inner_a block here, so
         # hop stays purely word-level (sil->sil = -inf).
-        pi_w, final_w, hop = _word_lm_scores(words, lm, config)
-        return cls(
+        if hop_mode == "auto":
+            hop_mode = "dense" if v <= cls.DENSE_HOP_LIMIT else "backoff"
+        n_clamped = 0
+        if hop_mode == "backoff":
+            pi_w, final_w, hop, n_clamped = _word_lm_factors(
+                words, lm, config
+            )
+        elif hop_mode == "dense":
+            pi_w, final_w, hop = _word_lm_scores(words, lm, config)
+        else:
+            raise ValueError(f"unknown hop_mode: {hop_mode!r}")
+        graph = cls(
             words, inner_a, exit_idx, state_map, pad_mask, pi_w, final_w,
             hop if config.loop else None, emission_params, cov_type, dtype,
         )
+        graph.hop_clamped = n_clamped
+        return graph
 
     @property
     def n_states(self) -> int:
@@ -708,6 +958,16 @@ class FactoredDecodingGraph:
     @property
     def grid_shape(self) -> Tuple[int, int]:
         return self.inner_a.shape[0], self.inner_a.shape[1]
+
+    def host_hop(self):
+        """Host-side hop accessor for the lattice layer: the dense NumPy
+        matrix, or a :class:`HostBackoffHop` over the factors (cached)."""
+        if getattr(self, "_host_hop", None) is None:
+            if isinstance(self.hop, HopFactors):
+                self._host_hop = HostBackoffHop(self.hop)
+            else:
+                self._host_hop = np.asarray(self.hop)
+        return self._host_hop
 
     # -- decoding -------------------------------------------------------------
 
@@ -787,6 +1047,7 @@ class FactoredDecodingGraph:
 
         use_kernel = (
             self.dtype == jnp.float32
+            and not isinstance(self.hop, HopFactors)
             and jax.default_backend() == "tpu"
             and factored_pallas_ok(obs.shape[0], len(self.words))
         )
@@ -888,6 +1149,7 @@ class FactoredDecodingGraph:
 
         use_kernel = (
             self.dtype == jnp.float32
+            and not isinstance(self.hop, HopFactors)
             and jax.default_backend() == "tpu"
             and factored_pallas_ok(obs.shape[0], len(self.words))
         )
@@ -938,7 +1200,7 @@ class FactoredDecodingGraph:
             np.asarray(exit_score)[:n_valid],
             np.asarray(exit_start)[:n_valid],
             np.asarray(exit_pred)[:n_valid],
-            np.asarray(self.hop),
+            self.host_hop(),
             np.asarray(self.log_pi_w),
             np.asarray(self.log_final_w),
             beam=beam,
@@ -984,7 +1246,7 @@ class FactoredDecodingGraph:
             np.asarray(exit_score), np.asarray(exit_start),
             np.asarray(exit_pred),
         )
-        hop_np = np.asarray(self.hop)
+        hop_np = self.host_hop()
         pi_np = np.asarray(self.log_pi_w)
         fin_np = np.asarray(self.log_final_w)
         out = []

@@ -40,6 +40,21 @@ _LN10 = math.log(10.0)
 SILENCE = "<sil>"
 
 
+def _hop_block(hop, rows: np.ndarray, cols: np.ndarray) -> np.ndarray:
+    """Dense hop block for token-DAG arcs: plain indexing for a (V, V)
+    matrix, the O(in-degree) accessor for backoff-factored hops
+    (:class:`lnasr_tpu.models.decoder.HostBackoffHop`)."""
+    if hasattr(hop, "block"):
+        return hop.block(rows, cols)
+    return hop[np.ix_(rows, cols)]
+
+
+def _hop_pair(hop, src: int, dst: int) -> float:
+    if hasattr(hop, "pair"):
+        return hop.pair(src, dst)
+    return float(hop[src, dst])
+
+
 def _lse_cols(x: np.ndarray) -> np.ndarray:
     """log-sum-exp over axis 0 of a 2-D array; all-(-inf) columns give
     -inf without warnings (the empty-predecessor case)."""
@@ -164,7 +179,9 @@ class WordLattice:
                 if pred < 0:
                     entry = log_pi_w[v]
                 else:
-                    entry = exit_score[start - 1, pred] + hop[pred, v]
+                    entry = exit_score[start - 1, pred] + _hop_pair(
+                        hop, pred, v
+                    )
                 ac = float(row[v] - entry)
                 if math.isfinite(ac):
                     tokens.append(WordToken(int(v), start, t, ac))
@@ -207,7 +224,20 @@ class WordLattice:
             ],
             "log_pi_w": self._encode_scores(self.log_pi_w),
             "log_final_w": self._encode_scores(self.log_final_w),
-            "hop": self._encode_scores(self.hop),
+            # backoff-factored hops serialize their factors
+            # (O(V + E)); dense hops the matrix - load() rebuilds either
+            "hop": (
+                {
+                    "from_w": self._encode_scores(self.hop.from_w),
+                    "uni": self._encode_scores(self.hop.uni),
+                    "sil_from": self._encode_scores(self.hop.sil_from),
+                    "sil_idx": int(self.hop.sil_idx),
+                    "pred": np.asarray(self.hop.pred).tolist(),
+                    "val": self._encode_scores(self.hop.val),
+                }
+                if hasattr(self.hop, "block")
+                else self._encode_scores(self.hop)
+            ),
         }
         with open(filename, "w", encoding="utf-8") as fp:
             json.dump(payload, fp, allow_nan=False)
@@ -224,10 +254,24 @@ class WordLattice:
             payload = json.load(fp, parse_constant=_parse_const)
         if payload.get("format") != "lnasr_tpu-word-lattice-v1":
             raise ValueError(f"{filename}: not a lnasr_tpu word lattice")
+        hop = payload["hop"]
+        if isinstance(hop, dict):
+            from lnasr_tpu.models.decoder import HopFactors, HostBackoffHop
+
+            hop = HostBackoffHop(HopFactors(
+                from_w=cls._decode_scores(hop["from_w"]),
+                uni=cls._decode_scores(hop["uni"]),
+                sil_from=cls._decode_scores(hop["sil_from"]),
+                sil_idx=np.int32(hop["sil_idx"]),
+                pred=np.asarray(hop["pred"], np.int32),
+                val=cls._decode_scores(hop["val"]),
+            ))
+        else:
+            hop = cls._decode_scores(hop)
         return cls(
             payload["words"],
             [WordToken(w, s, e, a) for w, s, e, a in payload["tokens"]],
-            cls._decode_scores(payload["hop"]),
+            hop,
             cls._decode_scores(payload["log_pi_w"]),
             cls._decode_scores(payload["log_final_w"]),
             int(payload["n_frames"]),
@@ -274,7 +318,7 @@ class WordLattice:
             pred = self._by_end.get(t - 1)
             if pred:
                 p_idx = np.asarray(pred, np.int64)
-                arc = self.hop[np.ix_(self._tok_word[p_idx], w_c)]  # (P, C)
+                arc = _hop_block(self.hop, self._tok_word[p_idx], w_c)  # (P, C)
                 # (C, P, n): entry scores broadcast over candidates
                 cand = (
                     arc.T[:, :, None]
@@ -365,7 +409,7 @@ class WordLattice:
             pred = self._by_end.get(t - 1)
             if pred:
                 p_idx = np.asarray(pred, np.int64)
-                arc = self.hop[np.ix_(self._tok_word[p_idx], w_c)]  # (P, C)
+                arc = _hop_block(self.hop, self._tok_word[p_idx], w_c)  # (P, C)
                 acc = np.logaddexp(acc, _lse_cols(fwd[p_idx][:, None] + arc))
             fwd[c_idx] = acc + self._tok_ac[c_idx]
         for t in range(self.n_frames - 1, -1, -1):
@@ -380,7 +424,7 @@ class WordLattice:
             succ = self._by_start.get(t + 1)
             if succ:
                 s_idx = np.asarray(succ, np.int64)
-                arc = self.hop[np.ix_(w_c, self._tok_word[s_idx])]  # (C, S)
+                arc = _hop_block(self.hop, w_c, self._tok_word[s_idx])  # (C, S)
                 tail = (self._tok_ac[s_idx] + bwd[s_idx])[None, :]
                 acc = np.logaddexp(acc, _lse_cols((arc + tail).T))
             bwd[c_idx] = acc
