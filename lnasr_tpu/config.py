@@ -102,7 +102,17 @@ class GMMHMMConfig:
     dim: int = 39
     cov_type: str = "diag"
     min_std: float = 0.01  # covariance ridge, as reference ``gmmhmm.py:44``
-    var_floor: float = 1e-3
+    # diag-covariance variance floor. ``var_floor`` is the absolute floor
+    # (may be a per-dimension tuple); ``var_floor_scale`` > 0 resolves it
+    # at data-driven init to ``max(var_floor, scale * per-dim data
+    # variance)`` — the HTK/Kaldi-style relative floor. Without it, EM on
+    # near-duplicated training frames (e.g. digital-silence prefixes)
+    # collapses single dimensions to ~1e-3 variance, and one such state
+    # prices its whole word out of the decoding search (measured: a
+    # poisoned entry state cost ~2,300 nats per traversal, so silence
+    # absorbed the word entirely).
+    var_floor: object = 1e-3
+    var_floor_scale: float = 0.01
 
 
 @dataclasses.dataclass(frozen=True)

@@ -154,7 +154,8 @@ def _maximize(
     mu = jnp.where(starved[..., None], old.mu, stats.first / denom)
     if cov_type == "diag":
         var = stats.second / denom - mu * mu
-        cov = jnp.where(starved[..., None], old.cov, jnp.maximum(var, var_floor))
+        floor = jnp.asarray(var_floor, dtype=mu.dtype)  # scalar or (D,)
+        cov = jnp.where(starved[..., None], old.cov, jnp.maximum(var, floor))
     else:
         d = mu.shape[-1]
         cov = stats.second / denom[..., None] + min_std * jnp.eye(d, dtype=mu.dtype)
@@ -173,9 +174,11 @@ def gmmhmm_em_step(
     mask: jax.Array,
     cov_type: str = "diag",
     min_std: float = 0.01,
-    var_floor: float = 1e-3,
+    var_floor=1e-3,
 ) -> Tuple[GMMHMMParams, jax.Array]:
-    """One Baum-Welch sweep over ``obs (B, T, D)`` / ``mask (B, T)``."""
+    """One Baum-Welch sweep over ``obs (B, T, D)`` / ``mask (B, T)``.
+    ``var_floor`` is a float or a per-dimension tuple (see
+    :class:`~lnasr_tpu.config.GMMHMMConfig.var_floor_scale`)."""
     stats = jax.vmap(lambda o, mk: _sequence_stats(params, o, mk, cov_type))(
         obs, mask
     )
@@ -239,6 +242,26 @@ class GMMHMM(HMM):
             self.cov = jnp.broadcast_to(jnp.eye(d, dtype=dtype), (n, m, d, d))
         return self
 
+    def _resolve_var_floor(self, obs) -> None:
+        """Resolve the diag-covariance variance floor against the training
+        data (``var_floor_scale`` x per-dimension global variance, never
+        below the absolute ``var_floor``) — the HTK/Kaldi-style relative
+        floor. Idempotent: a tuple floor (already resolved, e.g. on
+        checkpoint resume re-init from the same data) is left alone, so
+        kill-and-resume runs floor identically."""
+        cfg = self.config
+        if (cfg.cov_type != "diag" or cfg.var_floor_scale <= 0
+                or not np.isscalar(cfg.var_floor)):
+            return
+        gvar = np.var(np.asarray(obs, np.float64), axis=0)
+        floor = tuple(
+            float(v) for v in np.maximum(cfg.var_floor_scale * gvar,
+                                         cfg.var_floor)
+        )
+        import dataclasses as _dc
+
+        self.config = _dc.replace(cfg, var_floor=floor)
+
     def init_left_to_right(self, obs, key: Optional[jax.Array] = None,
                            self_loop: float = 0.5):
         """Left-to-right (Bakis) initialization for word/phone unit models:
@@ -274,7 +297,9 @@ class GMMHMM(HMM):
                                      replace=len(idx) < m)
             mus.append(obs[pick])
         self.mu = jnp.stack(mus)
-        var = jnp.maximum(jnp.var(obs, axis=0), self.config.var_floor)
+        self._resolve_var_floor(obs)
+        var = jnp.maximum(jnp.var(obs, axis=0),
+                          jnp.asarray(self.config.var_floor, self.dtype))
         if self.config.cov_type == "diag":
             self.cov = jnp.broadcast_to(var, (n, m, d)).astype(dtype)
         else:
@@ -301,7 +326,9 @@ class GMMHMM(HMM):
         self.log_w = jnp.full((n, m), -np.log(m), dtype)
         idx = jax.random.choice(key, obs.shape[0], (n * m,), replace=obs.shape[0] < n * m)
         self.mu = obs[idx].reshape(n, m, d)
-        var = jnp.maximum(jnp.var(obs, axis=0), self.config.var_floor)
+        self._resolve_var_floor(obs)
+        var = jnp.maximum(jnp.var(obs, axis=0),
+                          jnp.asarray(self.config.var_floor, self.dtype))
         if self.config.cov_type == "diag":
             self.cov = jnp.broadcast_to(var, (n, m, d)).astype(dtype)
         else:

@@ -406,7 +406,7 @@ class Recognizer:
         return WordLattice.from_records(
             graph.words, np.asarray(score)[:n_valid],
             np.asarray(start)[:n_valid], np.asarray(pred)[:n_valid],
-            np.asarray(graph.hop), np.asarray(graph.log_pi_w),
+            graph.host_hop(), np.asarray(graph.log_pi_w),
             np.asarray(graph.log_final_w), beam=beam,
         )
 
@@ -661,9 +661,38 @@ def train_unit_models(
     stopped — finished units restore instantly (``done`` state) and the
     interrupted one resumes mid-EM with identical final parameters.
     """
+    # Resolve the diag variance floor from the POOLED corpus (all units'
+    # frames), HTK-vFloors-style, so every unit models the same feature
+    # space with the same floor: a per-unit floor lets a word whose few
+    # examples are accidentally stable on one dimension keep a needle
+    # variance there, and one such state prices the word out of the
+    # decoding search (the round-4 WER artifact's deletion cluster).
+    # Deterministic in the data => checkpoint resume floors identically.
+    def _pooled_floor(cfg: GMMHMMConfig) -> GMMHMMConfig:
+        if (cfg.cov_type != "diag" or cfg.var_floor_scale <= 0
+                or not np.isscalar(cfg.var_floor)):
+            return cfg
+        return dataclasses.replace(
+            cfg,
+            var_floor=tuple(
+                float(v) for v in np.maximum(
+                    cfg.var_floor_scale * pooled_var, cfg.var_floor
+                )
+            ),
+        )
+
+    pooled_var = np.var(
+        np.concatenate(
+            [np.asarray(o, np.float64) for obs in examples.values()
+             for o in obs],
+            axis=0,
+        ),
+        axis=0,
+    )
+
     models: Dict[str, GMMHMM] = {}
     for i, (unit, obs_list) in enumerate(sorted(examples.items())):
-        unit_config = (unit_configs or {}).get(unit, config)
+        unit_config = _pooled_floor((unit_configs or {}).get(unit, config))
         model = GMMHMM(unit_config, dtype=dtype)
         all_frames = np.concatenate([np.asarray(o) for o in obs_list], axis=0)
         model.init_left_to_right(all_frames, jax.random.PRNGKey(seed + i))

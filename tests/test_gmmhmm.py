@@ -149,3 +149,43 @@ def test_decode_and_calc_prob():
     assert path.min() >= 0 and path.max() < 2
     paths = np.asarray(gh.decode_batch(obs[None], np.ones((1, 20), bool)))
     np.testing.assert_array_equal(paths[0], path)
+
+
+def test_variance_floor_resolves_per_dim():
+    """Data-driven init resolves ``var_floor`` to a per-dimension tuple
+    (``var_floor_scale`` x global variance) and EM respects it — the
+    round-4 WER artifact's deletions traced to a word-entry state whose
+    variance collapsed to ~1e-3 on near-duplicate (digital-silence
+    prefix) training frames, pricing the whole word out of the search."""
+    rng = np.random.default_rng(0)
+    obs = rng.normal(scale=[1.0, 10.0, 100.0], size=(3, 60, 3)).astype(
+        np.float32
+    )
+    obs[:, :15, :] = 0.123  # near-duplicate frames: would collapse a state
+    cfg = GMMHMMConfig(n_states=3, n_mix=2, dim=3)
+    m = GMMHMM(cfg, dtype=jnp.float32)
+    m.init_left_to_right(obs.reshape(-1, 3))
+    floor = m.config.var_floor
+    assert isinstance(floor, tuple) and len(floor) == 3
+    # per-dim: the scale-100 dimension's floor is ~1e4x the scale-1 dim's
+    assert floor[2] > 100 * floor[0]
+    m.train(obs, iters=5)
+    cov = np.asarray(m.cov)
+    assert np.all(cov >= np.asarray(floor) * (1 - 1e-5) - 1e-6)
+    # idempotent: re-resolving (checkpoint-resume re-init) changes nothing
+    before = m.config.var_floor
+    m._resolve_var_floor(obs.reshape(-1, 3))
+    assert m.config.var_floor == before
+
+
+def test_variance_floor_scale_zero_keeps_scalar():
+    """``var_floor_scale=0`` preserves the absolute-scalar flooring (and
+    the full-covariance parity path never resolves a tuple)."""
+    rng = np.random.default_rng(1)
+    obs = rng.normal(size=(40, 3)).astype(np.float32)
+    cfg = GMMHMMConfig(n_states=2, n_mix=1, dim=3, var_floor_scale=0.0)
+    m = GMMHMM(cfg, dtype=jnp.float32).init_from_data(obs)
+    assert np.isscalar(m.config.var_floor)
+    cfgf = GMMHMMConfig(n_states=2, n_mix=1, dim=3, cov_type="full")
+    mf = GMMHMM(cfgf, dtype=jnp.float64).init_from_data(obs)
+    assert np.isscalar(mf.config.var_floor)
