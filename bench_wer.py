@@ -12,11 +12,17 @@ conditions) and writes the full per-condition report.
 The GATE has real failure probability (round-3 verdict: the v1 bar
 ``wer <= 0.5`` on 10 reference words could not fail):
 
-- if the previous round's artifact used the same protocol version, FAIL
-  on regression: clean WER worse than previous + 0.05 absolute, or the
-  10 dB WER worse than previous + 0.10;
+- RATCHET (round-5 verdict: a previous-round +0.05 tolerance chains —
+  three mediocre rounds could drift 0.23 -> 0.38 without ever failing):
+  against the BEST clean WER of any same-protocol previous round, FAIL
+  if clean regresses more than +0.02 absolute, or the 10 dB WER more
+  than +0.10 over its own best;
 - otherwise (first round on this protocol) FAIL above the absolute
-  bring-up bar: clean WER must be <= 0.25.
+  bring-up bar: clean WER must be <= 0.25;
+- in every case FAIL when the CLI hypothesis diverges from the
+  in-process hypothesis on the same audio under the same configuration
+  (``cli_check.match`` from the demo) — the round-4 artifact recorded
+  exactly that divergence, ungated.
 
 JAX is pinned to CPU for this artifact: the protocol is deterministic
 there (fixed seed 0), so any change in the recorded WER is a code
@@ -41,8 +47,8 @@ sys.path.insert(0, REPO)
 # pin before any jax import (the demo's CLI subprocesses inherit env)
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
-CLEAN_TOL = 0.05  # allowed round-to-round clean-WER regression
-NOISY_TOL = 0.10  # allowed 10 dB-WER regression
+CLEAN_TOL = 0.02  # allowed clean-WER regression vs BEST-so-far
+NOISY_TOL = 0.10  # allowed 10 dB-WER regression vs its best-so-far
 BRINGUP_BAR = 0.25  # absolute clean bar when no comparable previous round
 
 
@@ -55,34 +61,46 @@ def infer_round() -> int:
     return (max(rounds) + 1) if rounds else 1
 
 
-def previous_report(this_round: int):
-    """Latest WER_r{k}.json with k < this_round, if any."""
-    best = None
+def best_previous(this_round: int, protocol_version: int):
+    """Best-so-far (clean, snr10) over ALL same-protocol WER_r{k<N}.json —
+    the ratchet base. Returns None when no comparable round exists."""
+    best_clean = best_noisy = None
     for p in glob.glob(os.path.join(REPO, "WER_r*.json")):
         m = re.search(r"WER_r(\d+)\.json$", p)
-        if m and int(m.group(1)) < this_round:
-            if best is None or int(m.group(1)) > best[0]:
-                best = (int(m.group(1)), p)
-    if best is None:
+        if not (m and int(m.group(1)) < this_round):
+            continue
+        with open(p, encoding="utf-8") as fp:
+            rep = json.load(fp)
+        if rep.get("protocol_version") != protocol_version:
+            continue
+        c = rep["conditions"]["clean"]["wer"]
+        n = rep["conditions"]["snr10"]["wer"]
+        best_clean = c if best_clean is None else min(best_clean, c)
+        best_noisy = n if best_noisy is None else min(best_noisy, n)
+    if best_clean is None:
         return None
-    with open(best[1], encoding="utf-8") as fp:
-        return json.load(fp)
+    return best_clean, best_noisy
 
 
-def gate(report: dict, prev) -> (bool, str):
+def gate(report: dict, best) -> (bool, str):
     clean = report["conditions"]["clean"]["wer"]
     noisy = report["conditions"]["snr10"]["wer"]
-    if prev is not None and prev.get("protocol_version") == report["protocol_version"]:
-        pc = prev["conditions"]["clean"]["wer"]
-        pn = prev["conditions"]["snr10"]["wer"]
-        if clean > pc + CLEAN_TOL:
-            return False, (f"clean WER regressed: {clean:.3f} > "
-                           f"{pc:.3f} + {CLEAN_TOL}")
-        if noisy > pn + NOISY_TOL:
-            return False, (f"10 dB WER regressed: {noisy:.3f} > "
-                           f"{pn:.3f} + {NOISY_TOL}")
-        return True, (f"clean {clean:.3f} (prev {pc:.3f}), "
-                      f"10 dB {noisy:.3f} (prev {pn:.3f})")
+    cli = report.get("cli_check", {})
+    if "match" in cli and not cli["match"]:
+        return False, (f"CLI hypothesis diverges from the in-process decode "
+                       f"under the same configuration: CLI {cli['hyp']!r} "
+                       f"vs in-process {cli['inprocess_hyp']!r}")
+    if best is not None:
+        bc, bn = best
+        if clean > bc + CLEAN_TOL:
+            return False, (f"clean WER regressed past the ratchet: "
+                           f"{clean:.3f} > best-so-far {bc:.3f} + {CLEAN_TOL}")
+        if noisy > bn + NOISY_TOL:
+            return False, (f"10 dB WER regressed past the ratchet: "
+                           f"{noisy:.3f} > best-so-far {bn:.3f} + {NOISY_TOL}")
+        return True, (f"clean {clean:.3f} (best-so-far {bc:.3f}), "
+                      f"10 dB {noisy:.3f} (best-so-far {bn:.3f}); "
+                      f"CLI matches in-process")
     if clean > BRINGUP_BAR:
         return False, f"clean WER {clean:.3f} > bring-up bar {BRINGUP_BAR}"
     return True, f"clean {clean:.3f} <= bring-up bar {BRINGUP_BAR} (no comparable previous round)"
@@ -103,9 +121,9 @@ def main() -> int:
                         "clean / 20 dB / 10 dB SNR / reverb)")
     report["value"] = report["wer"]
 
-    prev = previous_report(this_round)
-    ok, why = gate(report, prev)
-    report["gate"] = {"pass": ok, "detail": why,
+    best = best_previous(this_round, report["protocol_version"])
+    ok, why = gate(report, best)
+    report["gate"] = {"pass": ok, "detail": why, "ratchet": "best-so-far",
                       "clean_tol": CLEAN_TOL, "noisy_tol": NOISY_TOL,
                       "bringup_bar": BRINGUP_BAR}
     with open(out_path, "w") as fp:

@@ -289,15 +289,40 @@ def main(workdir=None) -> float:
     }
 
     # -- the CLI recognize path + trigram rescoring on one utterance --------
+    # The CLI check runs the SAME configuration as the in-process decode
+    # above (VAD + shape-bucketed serving), so its hypothesis must MATCH
+    # the in-process one bit for bit — bench_wer.py gates on that (the
+    # round-4 artifact recorded an unmatched-config CLI call collapsing
+    # to 1 of 5 words, ungated). The out-of-box default (no VAD, whole
+    # utterance through the <sil>-composed graph) is recorded separately
+    # for visibility.
     truth, clean = utts[-1]
     upath = os.path.join(tmp, "utt_cli.pcm")
     write_pcm(upath, clean)
+    inproc_hyp = per_utt[-1]["hyp"]
     hyp = cli("recognize", upath, "--am", amdir, "--lex", lex_path,
               "--lm", lm_path, "--lm-scale", "0.5",
-              "--word-penalty", "-4.0").split()
-    print(f"CLI check: ref={' '.join(truth)!r} hyp={' '.join(hyp)!r}")
-    main.last_report["cli_check"] = {"ref": " ".join(truth),
-                                     "hyp": " ".join(hyp)}
+              "--word-penalty", "-4.0", "--vad", "webrtc", "--vad-mode", "0",
+              "--bucket-frames", "128").split()
+    hyp_default = cli("recognize", upath, "--am", amdir, "--lex", lex_path,
+                      "--lm", lm_path, "--lm-scale", "0.5",
+                      "--word-penalty", "-4.0").split()
+    print(f"CLI check: ref={' '.join(truth)!r} hyp={' '.join(hyp)!r} "
+          f"in-process={inproc_hyp!r} default-config={' '.join(hyp_default)!r}")
+    main.last_report["cli_check"] = {
+        "ref": " ".join(truth),
+        "hyp": " ".join(hyp),
+        "inprocess_hyp": inproc_hyp,
+        "match": " ".join(hyp) == inproc_hyp,
+        "config": "--vad webrtc --vad-mode 0 --bucket-frames 128 (matches "
+                  "the in-process Recognizer)",
+    }
+    main.last_report["cli_default_check"] = {
+        "ref": " ".join(truth),
+        "hyp": " ".join(hyp_default),
+        "config": "CLI defaults: no VAD, unbucketed whole-utterance search",
+        "wer": round(wer_details(truth, hyp_default)["wer"], 4),
+    }
     lm3 = os.path.join(tmp, "words3.lm")
     cli("lm-train", corpus, lm3, "--order", "3")
     cmd = [sys.executable, "-m", "lnasr_tpu.cli", "recognize", upath,
