@@ -128,9 +128,10 @@ def _hop_entry(exit_v, hop):
         r1 = m1 + hop.uni  # (V,)
         cand = exit_v[hop.pred] + hop.val  # (V, K)
         sp = jnp.max(cand, axis=1)
-        sp_src = jnp.min(
-            jnp.where(cand == sp[:, None], hop.pred, big), axis=1
-        ).astype(jnp.int32)
+        # pred rows are sorted by source id, so first-max = lowest
+        # achieving source — the dense tie rule, one argmax
+        ksel = jnp.argmax(cand, axis=1)
+        sp_src = jnp.take_along_axis(hop.pred, ksel[:, None], axis=1)[:, 0]
         entry = jnp.maximum(r1, sp)
         esrc = jnp.minimum(
             jnp.where(r1 >= entry, a1, big),
@@ -205,6 +206,7 @@ def _word_lm_factors(
     words: Sequence[str],
     lm: Optional[NGramModel],
     config: "DecoderConfig",
+    max_in_degree: Optional[int] = None,
 ) -> Tuple[np.ndarray, np.ndarray, "HopFactors", int]:
     """Backoff-factored equivalent of :func:`_word_lm_scores`: returns
     ``(log_pi_w, log_final_w, HopFactors-as-numpy, n_clamped)`` with the
@@ -272,6 +274,14 @@ def _word_lm_factors(
             n_clamped += 1
             val = backoff
         by_dst.setdefault(j, []).append((i, val))
+    if max_in_degree is not None:
+        # standard LM arc pruning: keep each destination's best explicit
+        # arcs; dropped arcs fall back to their alpha+unigram path (the
+        # per-frame gather is O(V * K), so K caps the search cost)
+        for j, plist in by_dst.items():
+            if len(plist) > max_in_degree:
+                plist.sort(key=lambda e: (-e[1], e[0]))
+                del plist[max_in_degree:]
     k_max = max((len(p) for p in by_dst.values()), default=1)
     pred = np.zeros((v, k_max), np.int32)
     val_arr = np.full((v, k_max), -np.inf)
@@ -888,6 +898,13 @@ class FactoredDecodingGraph:
         else:
             self.hop = jnp.asarray(hop, dtype)
         self.hop_clamped = 0  # set by build() in backoff mode
+        self.hop_pruned_edges = 0  # set by build() in rank1 mode
+        # edge-free factors (rank1 mode, or backoff with no LM) are
+        # eligible for the rank-1 Pallas kernels
+        self.hop_rank1_only = bool(
+            isinstance(self.hop, HopFactors)
+            and not np.isfinite(np.asarray(self.hop.val)).any()
+        )
         log_w, mu, cov = emission_params
         self.log_w = jnp.asarray(log_w, dtype)
         self.mu = jnp.asarray(mu, dtype)
@@ -903,6 +920,7 @@ class FactoredDecodingGraph:
         silence_model: Optional[GMMHMM] = None,
         dtype=jnp.float32,
         hop_mode: str = "auto",
+        hop_max_in_degree: Optional[int] = None,
     ) -> "FactoredDecodingGraph":
         """Compose the factored graph (same inputs and semantics as
         :meth:`DecodingGraph.build`).
@@ -910,8 +928,15 @@ class FactoredDecodingGraph:
         ``hop_mode`` selects the word-hop realization: ``"dense"`` — the
         ``(V, V)`` matrix; ``"backoff"`` — :class:`HopFactors` (rank-1 +
         sparse seen bigrams, O(V + E) memory, the large-vocabulary form);
-        ``"auto"`` — dense up to :data:`DENSE_HOP_LIMIT` words (where the
-        fused Pallas kernels keep it VMEM-resident), backoff beyond."""
+        ``"rank1"`` — the factors with the sparse arcs PRUNED (word-loop
+        search scoring every hop with alpha+unigram; rides the rank-1
+        Pallas kernels far past the dense VMEM cap — recover full-LM
+        accuracy via lattice rescoring); ``"auto"`` — dense up to
+        :data:`DENSE_HOP_LIMIT` words (where the fused Pallas kernels
+        keep the matrix VMEM-resident), backoff beyond.
+        ``hop_max_in_degree`` caps each destination's explicit-arc list
+        in backoff mode (standard LM arc pruning; dropped arcs score by
+        their backoff path)."""
         some_model = next(iter(unit_models.values()))
         cov_type = some_model.config.cov_type
         words, blocks, emission_params, state_offsets = _compose_words(
@@ -935,11 +960,22 @@ class FactoredDecodingGraph:
         # hop stays purely word-level (sil->sil = -inf).
         if hop_mode == "auto":
             hop_mode = "dense" if v <= cls.DENSE_HOP_LIMIT else "backoff"
-        n_clamped = 0
-        if hop_mode == "backoff":
+        n_clamped = n_pruned = 0
+        if hop_mode in ("backoff", "rank1"):
             pi_w, final_w, hop, n_clamped = _word_lm_factors(
-                words, lm, config
+                words, lm, config, max_in_degree=hop_max_in_degree
             )
+            if hop_mode == "rank1":
+                # word-loop pruning: drop the sparse seen-bigram arcs so
+                # every hop scores alpha'+unigram — the Pallas-kernel
+                # realization for vocabularies past the dense VMEM cap;
+                # recover full-LM accuracy by lattice rescoring
+                # (decode_segment_nbest(rescore_lm=...))
+                n_pruned = int(np.isfinite(hop.val).sum())
+                hop = hop._replace(
+                    pred=np.zeros((v, 1), np.int32),
+                    val=np.full((v, 1), -np.inf),
+                )
         elif hop_mode == "dense":
             pi_w, final_w, hop = _word_lm_scores(words, lm, config)
         else:
@@ -949,6 +985,7 @@ class FactoredDecodingGraph:
             hop if config.loop else None, emission_params, cov_type, dtype,
         )
         graph.hop_clamped = n_clamped
+        graph.hop_pruned_edges = n_pruned
         return graph
 
     @property
@@ -1043,13 +1080,20 @@ class FactoredDecodingGraph:
         """Traceable decode core (see :meth:`DecodingGraph.decode_arrays`):
         dispatches to the fused Pallas kernels on TPU when the graph fits
         VMEM, the scan elsewhere — identical results."""
-        from lnasr_tpu.ops.factored_pallas import factored_pallas_ok
+        from lnasr_tpu.ops.factored_pallas import (
+            factored_pallas_ok,
+            factored_rank1_ok,
+        )
 
+        if isinstance(self.hop, HopFactors):
+            kernel_ok = (self.hop_rank1_only
+                         and factored_rank1_ok(obs.shape[0], len(self.words)))
+        else:
+            kernel_ok = factored_pallas_ok(obs.shape[0], len(self.words))
         use_kernel = (
             self.dtype == jnp.float32
-            and not isinstance(self.hop, HopFactors)
             and jax.default_backend() == "tpu"
-            and factored_pallas_ok(obs.shape[0], len(self.words))
+            and kernel_ok
         )
         decode_fn = self._decode_fn_pallas if use_kernel else self._decode_fn
         return decode_fn(
@@ -1144,14 +1188,21 @@ class FactoredDecodingGraph:
         restored to ``-inf`` here (the lattice builder filters records by
         ``isfinite``; an early all-unreachable frame would otherwise mint
         V bogus tokens at -1e30)."""
-        from lnasr_tpu.ops.factored_pallas import factored_pallas_ok
+        from lnasr_tpu.ops.factored_pallas import (
+            factored_pallas_ok,
+            factored_rank1_ok,
+        )
         from lnasr_tpu.ops.trellis_pallas import NEG
 
+        if isinstance(self.hop, HopFactors):
+            kernel_ok = (self.hop_rank1_only
+                         and factored_rank1_ok(obs.shape[0], len(self.words)))
+        else:
+            kernel_ok = factored_pallas_ok(obs.shape[0], len(self.words))
         use_kernel = (
             self.dtype == jnp.float32
-            and not isinstance(self.hop, HopFactors)
             and jax.default_backend() == "tpu"
-            and factored_pallas_ok(obs.shape[0], len(self.words))
+            and kernel_ok
         )
         if use_kernel:
             exit_score, exit_start, exit_pred = self._lattice_fn_pallas(

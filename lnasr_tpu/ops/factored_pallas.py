@@ -51,18 +51,51 @@ from lnasr_tpu.ops.trellis_pallas import (
 )
 
 _SUB = 8
-_TC = 16  # frames per grid step
+_TC = 16  # frames per grid step (dense hop; rank-1 adapts to V)
+
+
+def _rank1_tc(v_pad: int) -> int:
+    """Frames per grid step for the rank-1 hop kernels: the (TC, S, V)
+    emission/grid blocks are the VMEM driver once the (V, V) matrix is
+    gone, so TC shrinks as V grows (power of 4-unroll preserved)."""
+    if v_pad <= 2048:
+        return 16
+    return 8 if v_pad <= 8192 else 4
+
+
+def _rank1_entry_rows(exit_row, hopr_ref):
+    """Rank-1 word entry on lane layout: ``hopr`` rows are 0=from_w,
+    1=uni, 2=sil_from, 3=silence one-hot. Returns ``(entry (1, V),
+    a1, m2, a2)`` — the rank-1 entry merged with the silence column,
+    plus the argmax source lanes (a1 real words, a2 silence). No
+    lane->sublane relayout exists in this mode at all (the dense
+    kernel's measured top cost)."""
+    v_pad = exit_row.shape[1]
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, v_pad), 1)
+    big = jnp.int32(v_pad + 1)
+    base = exit_row + hopr_ref[0:1, :]
+    m1 = jnp.max(base)
+    a1 = jnp.min(jnp.where(base == m1, lane1, big))
+    entry = m1 + hopr_ref[1:2, :]
+    base2 = exit_row + hopr_ref[2:3, :]
+    m2 = jnp.max(base2)
+    a2 = jnp.min(jnp.where(base2 == m2, lane1, big))
+    entry = jnp.where(hopr_ref[3:4, :] > 0, m2, entry)
+    return entry, a1, m2, a2
 
 
 def _fwd_kernel(pi_ref, at_ref, exitm_ref, hop_ref, eye_ref, logb_ref,
-                mask_ref, out_ref, v_ref, *, has_hop: bool):
-    """One block of _TC frames. Shapes: pi (S, V), at (S, S, V) with
-    ``at[s, j, v] = inner_a[v, s, j]``, exitm (S, V), hop (V, V), eye
-    (V, V), logb/out (TC, S, V) — all VMEM; mask (T_pad,) int32 lives
-    UNBLOCKED in SMEM, indexed by the global frame id (newer Pallas
-    rejects rank-1 SMEM block shapes that are neither the full array nor
-    128-multiples; masked frames are identity steps: grid unchanged).
-    Scratch v (S, V) persists across grid steps."""
+                mask_ref, out_ref, v_ref, *, hop_kind: str):
+    """One block of TC frames. Shapes: pi (S, V), at (S, S, V) with
+    ``at[s, j, v] = inner_a[v, s, j]``, exitm (S, V), hop (V, V) dense /
+    (S, V) packed rank-1 rows, eye (V, V), logb/out (TC, S, V) — all
+    VMEM; mask (T_pad,) int32 lives UNBLOCKED in SMEM, indexed by the
+    global frame id (newer Pallas rejects rank-1 SMEM block shapes that
+    are neither the full array nor 128-multiples; masked frames are
+    identity steps: grid unchanged). Scratch v (S, V) persists across
+    grid steps. ``hop_kind``: "none" (loop-free), "dense", or "rank1"
+    (backoff word-loop: entry = max(exit + from) + uni, silence column
+    separate — see :func:`_rank1_entry_rows`)."""
     tc, s_pad, v_pad = logb_ref.shape
     blk = pl.program_id(0)
     dtype = v_ref.dtype
@@ -80,19 +113,22 @@ def _fwd_kernel(pi_ref, at_ref, exitm_ref, hop_ref, eye_ref, logb_ref,
         def _():
             vg = v_ref[:, :]
             within = jnp.max(vg[:, None, :] + at_ref[:, :, :], axis=0)
-            if has_hop:
+            if hop_kind != "none":
                 exit_row = jnp.max(vg + exitm_ref[:, :], axis=0,
                                    keepdims=True)  # (1, V)
-                # lane->sublane relayout, bitwise exact (a plain-bf16
-                # matmul would round the values and break the bitwise
-                # replay backtrace; a HIGHEST (V,V) identity costs ~16x
-                # the MXU issue — measured as the kernel's top cost)
-                exit_col = row_to_col_split3(eye_ref, exit_row, dtype)  # (V, 1)
-                # one fused (V, V) add + full-axis max (a chunked fori_loop
-                # here ran slower than the lax.scan decoder: 128 tiny loop
-                # iterations starve the VPU)
-                entry = jnp.max(exit_col + hop_ref[:, :], axis=0,
-                                keepdims=True)  # (1, V)
+                if hop_kind == "rank1":
+                    entry, _, _, _ = _rank1_entry_rows(exit_row, hop_ref)
+                else:
+                    # lane->sublane relayout, bitwise exact (a plain-bf16
+                    # matmul would round the values and break the bitwise
+                    # replay backtrace; a HIGHEST (V,V) identity costs ~16x
+                    # the MXU issue — measured as the kernel's top cost)
+                    exit_col = row_to_col_split3(eye_ref, exit_row, dtype)  # (V, 1)
+                    # one fused (V, V) add + full-axis max (a chunked fori_loop
+                    # here ran slower than the lax.scan decoder: 128 tiny loop
+                    # iterations starve the VPU)
+                    entry = jnp.max(exit_col + hop_ref[:, :], axis=0,
+                                    keepdims=True)  # (1, V)
                 ridx = jax.lax.broadcasted_iota(jnp.int32, (s_pad, v_pad), 0)
                 within = jnp.where(
                     ridx == 0, jnp.maximum(within, entry), within
@@ -127,9 +163,31 @@ def _pad(x, target: int, axis: int):
     return jnp.pad(x, widths, constant_values=NEG)
 
 
+def _is_factors(hop) -> bool:
+    """Backoff :class:`~lnasr_tpu.models.decoder.HopFactors` duck-typed
+    (ops must not import models)."""
+    return hop is not None and hasattr(hop, "from_w")
+
+
+def _pack_rank1_rows(hop, v_pad, dtype):
+    """(S, V) packed rank-1 hop rows: 0=from_w, 1=uni, 2=sil_from,
+    3=silence one-hot, rest NEG. Kernel-mode rank-1 requires the factors
+    to carry no sparse edges (the word-loop serving realization); the
+    decoder dispatch guarantees that."""
+    rows = [
+        _pad(_finite(hop.from_w, dtype), v_pad, 0),
+        _pad(_finite(hop.uni, dtype), v_pad, 0),
+        _pad(_finite(hop.sil_from, dtype), v_pad, 0),
+        jnp.where(jnp.arange(v_pad) == hop.sil_idx, 1.0, 0.0).astype(dtype),
+    ]
+    filler = jnp.full((_SUB - len(rows), v_pad), NEG, dtype)
+    return jnp.concatenate([jnp.stack(rows), filler], axis=0)
+
+
 def _prep_forward_inputs(pi_grid, inner_a, exit_idx, hop, log_b_grid, mask):
     """Padded kernel-layout operands shared by the forward and fused
-    decode entry points. Returns a dict of arrays plus the padded dims."""
+    decode entry points. Returns a dict of arrays plus the padded dims
+    and the hop kind/frame-block size."""
     t_len, v_words, s_max = log_b_grid.shape
     dtype = log_b_grid.dtype
     if dtype != jnp.float32:
@@ -138,7 +196,14 @@ def _prep_forward_inputs(pi_grid, inner_a, exit_idx, hop, log_b_grid, mask):
         # break the bitwise-replay backtrace
         raise ValueError(f"factored Pallas decode requires float32, got {dtype}")
     v_pad = max(_LANES, -(-v_words // _LANES) * _LANES)
-    t_pad = -(-t_len // _TC) * _TC
+    if hop is None:
+        hop_kind = "none"
+    elif _is_factors(hop):
+        hop_kind = "rank1"
+    else:
+        hop_kind = "dense"
+    tc = _rank1_tc(v_pad) if hop_kind == "rank1" else _TC
+    t_pad = -(-t_len // tc) * tc
 
     pi = _pad(_pad(_finite(pi_grid, dtype), v_pad, 0).T, _SUB, 0)  # (S, V)
     at = jnp.transpose(
@@ -149,8 +214,10 @@ def _prep_forward_inputs(pi_grid, inner_a, exit_idx, hop, log_b_grid, mask):
         jnp.arange(_SUB)[:, None] == _pad_idx(exit_idx, v_pad)[None, :],
         0.0, NEG,
     ).astype(dtype)  # (S, V); padded words have exit_idx sentinel -1 -> NEG
-    if hop is not None:
+    if hop_kind == "dense":
         hop_p = _pad(_pad(_finite(hop, dtype), v_pad, 0), v_pad, 1)
+    elif hop_kind == "rank1":
+        hop_p = _pack_rank1_rows(hop, v_pad, dtype)
     else:
         hop_p = jnp.full((_SUB, v_pad), NEG, dtype)  # unused placeholder
     # [I|I|I] (128, 384) block for the chunked exact relayout (one
@@ -167,26 +234,27 @@ def _prep_forward_inputs(pi_grid, inner_a, exit_idx, hop, log_b_grid, mask):
     m = jnp.pad(m, (0, t_pad - t_len))  # T-padding frames are masked too
     return dict(pi=pi, at=at, exitm=exitm, hop_p=hop_p, eye=eye, lb=lb, m=m,
                 t_len=t_len, t_pad=t_pad, v_pad=v_pad, v_words=v_words,
-                s_max=s_max, dtype=dtype)
+                s_max=s_max, dtype=dtype, hop_kind=hop_kind, tc=tc)
 
 
-def _forward_raw(prep, has_hop, interpret):
+def _forward_raw(prep, interpret):
     """The forward pallas_call on padded operands; returns the raw
     ``(t_pad, _SUB, v_pad)`` grid buffer (kernel layout)."""
     t_pad, v_pad, dtype = prep["t_pad"], prep["v_pad"], prep["dtype"]
+    tc = prep["tc"]
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, has_hop=has_hop),
-        grid=(t_pad // _TC,),
+        functools.partial(_fwd_kernel, hop_kind=prep["hop_kind"]),
+        grid=(t_pad // tc,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # pi
             pl.BlockSpec(memory_space=pltpu.VMEM),  # at
             pl.BlockSpec(memory_space=pltpu.VMEM),  # exitm
             pl.BlockSpec(memory_space=pltpu.VMEM),  # hop
             pl.BlockSpec(memory_space=pltpu.VMEM),  # eye
-            pl.BlockSpec((_TC, _SUB, v_pad), lambda b: (b, 0, 0)),
+            pl.BlockSpec((tc, _SUB, v_pad), lambda b: (b, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # whole mask, unblocked
         ],
-        out_specs=pl.BlockSpec((_TC, _SUB, v_pad), lambda b: (b, 0, 0)),
+        out_specs=pl.BlockSpec((tc, _SUB, v_pad), lambda b: (b, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((t_pad, _SUB, v_pad), dtype),
         scratch_shapes=[pltpu.VMEM((_SUB, v_pad), dtype)],
         interpret=interpret,
@@ -209,7 +277,7 @@ def factored_forward_pallas(
     :meth:`FactoredDecodingGraph._decode_fn` at every feasible state."""
     prep = _prep_forward_inputs(pi_grid, inner_a, exit_idx, hop, log_b_grid,
                                 mask)
-    out = _forward_raw(prep, hop is not None, interpret)
+    out = _forward_raw(prep, interpret)
     return jnp.transpose(
         out[: prep["t_len"], : prep["s_max"], : prep["v_words"]], (0, 2, 1)
     )
@@ -217,7 +285,8 @@ def factored_forward_pallas(
 
 def _bwd_kernel(vg_cur_ref, vg_prev_ref, atb_ref, exitm_ref, hop_t_ref,
                 eidx_ref, final_ref, mask_ref, path_ref, score_ref,
-                state_ref, *, t_len: int, s_max: int, n_blocks: int):
+                state_ref, *, t_len: int, s_max: int, n_blocks: int,
+                hop_kind: str):
     """In-kernel backtrace over the stored (reverse-blocked) grids.
 
     Replays the SAME argmax rules as the XLA :func:`factored_backtrace`
@@ -274,10 +343,28 @@ def _bwd_kernel(vg_cur_ref, vg_prev_ref, atb_ref, exitm_ref, hop_t_ref,
 
                 exit_row = jnp.max(vprev + exitm_ref[:, :], axis=0,
                                    keepdims=True)  # (1, V) word exit scores
-                hop_row = hop_t_ref[pl.ds(v_w, 1), :]  # (1, V): hop[:, v_w]
-                hop_cand = exit_row + hop_row
-                hmax = jnp.max(hop_cand)
-                esrc = jnp.min(jnp.where(hop_cand == hmax, lane1, big))
+                if hop_kind == "rank1":
+                    # packed rank-1 rows (see _rank1_entry_rows); same
+                    # argmax-lane tie rules as the scan's _hop_entry
+                    base = exit_row + hop_t_ref[0:1, :]
+                    m1 = jnp.max(base)
+                    a1 = jnp.min(jnp.where(base == m1, lane1, big))
+                    uni_w = jnp.max(
+                        jnp.where(lane1 == v_w, hop_t_ref[1:2, :], NEG)
+                    )
+                    base2 = exit_row + hop_t_ref[2:3, :]
+                    m2 = jnp.max(base2)
+                    a2 = jnp.min(jnp.where(base2 == m2, lane1, big))
+                    is_sil = jnp.max(
+                        jnp.where(lane1 == v_w, hop_t_ref[3:4, :], 0.0)
+                    ) > 0
+                    hmax = jnp.where(is_sil, m2, m1 + uni_w)
+                    esrc = jnp.where(is_sil, a2, a1)
+                else:
+                    hop_row = hop_t_ref[pl.ds(v_w, 1), :]  # (1, V): hop[:, v_w]
+                    hop_cand = exit_row + hop_row
+                    hmax = jnp.max(hop_cand)
+                    esrc = jnp.min(jnp.where(hop_cand == hmax, lane1, big))
                 exit_s = jnp.sum(
                     jnp.where(lane1 == esrc, eidx_ref[:, :], 0),
                     dtype=jnp.int32,
@@ -321,24 +408,28 @@ def factored_decode_pallas(
     and without materializing the sliced/transposed grids in between."""
     prep = _prep_forward_inputs(pi_grid, inner_a, exit_idx, hop, log_b_grid,
                                 mask)
-    t_len, t_pad = prep["t_len"], prep["t_pad"]
+    t_len, t_pad, tc = prep["t_len"], prep["t_pad"], prep["tc"]
     v_pad, s_max, dtype = prep["v_pad"], prep["s_max"], prep["dtype"]
-    vgrids = _forward_raw(prep, True, interpret)
+    hop_kind = prep["hop_kind"]
+    vgrids = _forward_raw(prep, interpret)
 
     atb = jnp.transpose(prep["at"], (1, 0, 2))  # (S_j, S_from, V)
-    hop_t = jnp.transpose(prep["hop_p"])  # (V_to, V_from)
+    # dense mode indexes hop columns as rows (hop.T); rank-1 keeps its
+    # packed (S, V) row layout
+    hop_t = (prep["hop_p"] if hop_kind == "rank1"
+             else jnp.transpose(prep["hop_p"]))
     eidx = jnp.maximum(_pad_idx(exit_idx, v_pad), 0)[None, :]  # (1, V) i32
     fin = _pad(_pad(_finite(log_final_grid, dtype), v_pad, 0).T, _SUB, 0)
 
-    n_blocks = t_pad // _TC
+    n_blocks = t_pad // tc
     path, score = pl.pallas_call(
         functools.partial(_bwd_kernel, t_len=t_len, s_max=s_max,
-                          n_blocks=n_blocks),
+                          n_blocks=n_blocks, hop_kind=hop_kind),
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((_TC, _SUB, v_pad),
+            pl.BlockSpec((tc, _SUB, v_pad),
                          lambda b: (n_blocks - 1 - b, 0, 0)),
-            pl.BlockSpec((_TC, _SUB, v_pad),
+            pl.BlockSpec((tc, _SUB, v_pad),
                          lambda b: (jnp.maximum(n_blocks - 2 - b, 0), 0, 0)),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # atb
             pl.BlockSpec(memory_space=pltpu.VMEM),  # exitm
@@ -348,7 +439,7 @@ def factored_decode_pallas(
             pl.BlockSpec(memory_space=pltpu.SMEM),  # mask
         ],
         out_specs=[
-            pl.BlockSpec((_TC, _LANES), lambda b: (n_blocks - 1 - b, 0)),
+            pl.BlockSpec((tc, _LANES), lambda b: (n_blocks - 1 - b, 0)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_shape=[
@@ -379,7 +470,10 @@ def factored_backtrace(
     """Exact-replay backtrace over stored grids: ``(path (T,) int32 in
     v*S+s ids, score)``. Re-derives each step's argmax with the same
     first-max / strict ``entry > within`` rules as the scan decoder;
-    masked frames self-point (the forward treated them as identity)."""
+    masked frames self-point (the forward treated them as identity).
+    ``hop`` must be a dense matrix or None (backoff-factored decodes
+    ride :func:`factored_decode_pallas`'s in-kernel backtrace or the
+    scan realization, which carries its own backpointers)."""
     t_len, v_words, s_max = vgrids.shape
     exit_idx = jnp.asarray(exit_idx, jnp.int32)
     valid = jnp.ones((t_len,), bool) if mask is None else jnp.asarray(mask, bool)
@@ -425,9 +519,26 @@ def factored_pallas_ok(t_len: int, v_words: int,
     return vmem <= vmem_budget and hbm <= hbm_budget
 
 
+def factored_rank1_ok(t_len: int, v_words: int,
+                      vmem_budget: int = 13 * 1024 * 1024,
+                      hbm_budget: int = 2 * 1024**3) -> bool:
+    """Capacity check for the rank-1 (word-loop) hop kernels: with no
+    (V, V) matrix the VMEM drivers are the inner blocks and the
+    double-buffered (TC, S, V) emission/grid pipeline blocks; TC shrinks
+    with V (:func:`_rank1_tc`), so vocabularies ~7x past the dense cap
+    fit (~13k words at TC=4; beyond that the scan realization takes
+    over)."""
+    v_pad = max(_LANES, -(-v_words // _LANES) * _LANES)
+    tc = _rank1_tc(v_pad)
+    vmem = (_SUB * _SUB * v_pad + 6 * _SUB * v_pad
+            + 4 * tc * _SUB * v_pad) * 4 + _LANES * _LANES * 2
+    hbm = (-(-t_len // tc) * tc) * _SUB * v_pad * 4
+    return vmem <= vmem_budget and hbm <= hbm_budget
+
+
 def _lattice_kernel(pi_ref, at_ref, exitm_ref, eidx_ref, hop_ref, eye_ref,
                     logb_ref, mask_ref, score_ref, start_ref_o, pred_ref_o,
-                    v_ref, st_ref, pr_ref):
+                    v_ref, st_ref, pr_ref, *, hop_kind: str):
     """Lattice-recording forward: the :func:`_fwd_kernel` trellis PLUS
     token metadata — every grid state carries the frame its current word
     token was entered (``start``) and the word it was entered from
@@ -483,13 +594,19 @@ def _lattice_kernel(pi_ref, at_ref, exitm_ref, eidx_ref, hop_ref, eye_ref,
                 new_pred = jnp.where(wsrc == s, pr[s : s + 1, :], new_pred)
 
             exit_row = jnp.max(vg + exitm_ref[:, :], axis=0, keepdims=True)
-            exit_col = row_to_col_split3(eye_ref, exit_row, dtype)  # (V, 1)
-            cand_hop = exit_col + hop_ref[:, :]  # (V_from, V_to)
-            entry = jnp.max(cand_hop, axis=0, keepdims=True)  # (1, V)
-            esrc = jnp.min(
-                jnp.where(cand_hop == entry, sub_col, big), axis=0,
-                keepdims=True,
-            ).astype(jnp.int32)  # (1, V) first-from-word
+            if hop_kind == "rank1":
+                entry, a1, _, a2 = _rank1_entry_rows(exit_row, hop_ref)
+                esrc = jnp.where(hop_ref[3:4, :] > 0, a2, a1).astype(
+                    jnp.int32
+                )  # (1, V): rank-1 winner, silence's winner at its lane
+            else:
+                exit_col = row_to_col_split3(eye_ref, exit_row, dtype)  # (V, 1)
+                cand_hop = exit_col + hop_ref[:, :]  # (V_from, V_to)
+                entry = jnp.max(cand_hop, axis=0, keepdims=True)  # (1, V)
+                esrc = jnp.min(
+                    jnp.where(cand_hop == entry, sub_col, big), axis=0,
+                    keepdims=True,
+                ).astype(jnp.int32)  # (1, V) first-from-word
             hop_wins = entry > within[0:1, :]
             ridx = sub2 == 0
             row0 = jnp.broadcast_to(jnp.maximum(within[0:1, :], entry),
@@ -547,13 +664,13 @@ def factored_lattice_pallas(
     recording pass was the N-best serving path's dominant cost)."""
     prep = _prep_forward_inputs(pi_grid, inner_a, exit_idx, hop, log_b_grid,
                                 mask)
-    t_len, t_pad = prep["t_len"], prep["t_pad"]
+    t_len, t_pad, tc = prep["t_len"], prep["t_pad"], prep["tc"]
     v_pad, v_words, dtype = prep["v_pad"], prep["v_words"], prep["dtype"]
     eidx = jnp.maximum(_pad_idx(exit_idx, v_pad), -1)[None, :]
 
     score, start, pred = pl.pallas_call(
-        _lattice_kernel,
-        grid=(t_pad // _TC,),
+        functools.partial(_lattice_kernel, hop_kind=prep["hop_kind"]),
+        grid=(t_pad // tc,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # pi
             pl.BlockSpec(memory_space=pltpu.VMEM),  # at
@@ -561,13 +678,13 @@ def factored_lattice_pallas(
             pl.BlockSpec(memory_space=pltpu.VMEM),  # eidx
             pl.BlockSpec(memory_space=pltpu.VMEM),  # hop
             pl.BlockSpec(memory_space=pltpu.VMEM),  # eye
-            pl.BlockSpec((_TC, _SUB, v_pad), lambda b: (b, 0, 0)),
+            pl.BlockSpec((tc, _SUB, v_pad), lambda b: (b, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # mask
         ],
         out_specs=[
-            pl.BlockSpec((_TC, v_pad), lambda b: (b, 0)),
-            pl.BlockSpec((_TC, v_pad), lambda b: (b, 0)),
-            pl.BlockSpec((_TC, v_pad), lambda b: (b, 0)),
+            pl.BlockSpec((tc, v_pad), lambda b: (b, 0)),
+            pl.BlockSpec((tc, v_pad), lambda b: (b, 0)),
+            pl.BlockSpec((tc, v_pad), lambda b: (b, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((t_pad, v_pad), dtype),
