@@ -110,9 +110,14 @@ class GMMHMMConfig:
     # collapses single dimensions to ~1e-3 variance, and one such state
     # prices its whole word out of the decoding search (measured: a
     # poisoned entry state cost ~2,300 nats per traversal, so silence
-    # absorbed the word entirely).
+    # absorbed the word entirely). Scale sweep on the round-5 WER
+    # protocol (clean/10 dB): 0.01 -> 0.19/0.57, 0.05 -> 0.032/0.19,
+    # 0.1 -> 0.032/0.22, 0.2 -> 0.0/0.23 — a flat optimum 0.05-0.2;
+    # 0.05 is the least-aggressive point on it (best 10 dB). Lower it
+    # for large-data training where sharper per-state variances are
+    # statistically supported.
     var_floor: object = 1e-3
-    var_floor_scale: float = 0.01
+    var_floor_scale: float = 0.05
 
 
 @dataclasses.dataclass(frozen=True)
