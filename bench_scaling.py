@@ -87,26 +87,40 @@ def run(device_counts, per_device_batch: int, t_frames: int, steps: int):
 
         params, loglik = step(model.params, obs_d, mask_d)  # compile+warm
         jax.block_until_ready(loglik)
+        c0 = time.process_time()
         t0 = time.perf_counter()
         for _ in range(steps):
             params, loglik = step(params, obs_d, mask_d)
         jax.block_until_ready(loglik)
         dt = (time.perf_counter() - t0) / steps
+        cpu_dt = (time.process_time() - c0) / steps
 
         payload = _psum_payload_bytes(
             model.params, obs[:per_device_batch], mask[:per_device_batch],
             cfg.cov_type,
         )
         if t1 is None:
-            t1 = dt
+            t1, cpu1 = dt, cpu_dt
+        # HOST CEILING (round-4 verdict #5): n virtual devices share
+        # `cores` physical cores, so ideal weak-scaling wall time is NOT
+        # flat — it is the n-device COMPUTE (n x the single-device CPU
+        # seconds, the measured per-device work) spread over the cores:
+        # t_ideal(n) = max(t(1), n*cpu(1)/cores). Efficiency relative to
+        # that ceiling separates framework/collective overhead (what
+        # this harness can measure) from host saturation (an artifact of
+        # oversubscribing a 2-core host, irrelevant to a real slice).
+        t_ideal = max(t1, n * cpu1 / cores)
         rows.append({
             "devices": n,
             "per_device_batch": per_device_batch,
             "frames": t_frames,
             "step_seconds": round(dt, 6),
+            "cpu_seconds_per_step": round(cpu_dt, 6),
             "utterances_per_s": round(b / dt, 2),
             # weak scaling: per-device work fixed, ideal is t(n) == t(1)
             "weak_scaling_efficiency": round(t1 / dt, 3),
+            "host_ceiling_step_seconds": round(t_ideal, 6),
+            "ceiling_relative_efficiency": round(min(1.0, t_ideal / dt), 3),
             "speedup_vs_serial": round(n * t1 / dt, 3),
             "psum_payload_bytes_per_device": payload,
             # ring all-reduce moves 2(n-1)/n of the payload per device
@@ -221,6 +235,7 @@ def run_decode(device_counts, per_device_batch: int, t_frames: int,
     from lnasr_tpu.parallel import make_dp_decode_step, make_mesh, mesh_shape_for
 
     rng = np.random.default_rng(2)
+    cores = os.cpu_count() or 1
     v, dim, n_states = 100, 8, 3
     cfg = GMMHMMConfig(n_states=n_states, n_mix=1, dim=dim)
     means = rng.normal(scale=20.0, size=(v, dim))
@@ -259,31 +274,40 @@ def run_decode(device_counts, per_device_batch: int, t_frames: int,
         step = make_dp_decode_step(mesh, graph)
         paths, scores = step(feats, masks)  # compile + warm
         jax.block_until_ready(scores)
+        c0 = time.process_time()
         t0 = time.perf_counter()
         for _ in range(steps):
             paths, scores = step(feats, masks)
         jax.block_until_ready(scores)
         dt = (time.perf_counter() - t0) / steps
+        cpu_dt = (time.process_time() - c0) / steps
         if t1 is None:
-            t1 = dt
+            t1, cpu1 = dt, cpu_dt
+        # host ceiling: see run() — the decode is compute-bound, so the
+        # oversubscribed host, not the sharding, sets the floor here
+        t_ideal = max(t1, n * cpu1 / cores)
         rows.append({
             "devices": n,
             "per_device_batch": per_device_batch,
             "vocab": v,
             "step_seconds": round(dt, 6),
+            "cpu_seconds_per_step": round(cpu_dt, 6),
             "segments_per_s": round(b / dt, 2),
             "weak_scaling_efficiency": round(t1 / dt, 3),
+            "host_ceiling_step_seconds": round(t_ideal, 6),
+            "ceiling_relative_efficiency": round(min(1.0, t_ideal / dt), 3),
         })
         print(json.dumps(rows[-1]))
-    cores = os.cpu_count() or 1
     rows.append({
         "note": f"virtual devices share {cores} host cores and the decode "
-                "is compute-bound, so weak scaling here is bounded by "
+                "is compute-bound, so raw weak scaling is bounded by "
                 f"cores/devices ({cores}/{max(device_counts)} = "
                 f"{cores / max(device_counts):.2f} at the widest mesh); "
-                "the rows demonstrate the sharded serving path executes "
-                "with replicated graphs, not chip-level scaling (no "
-                "multi-chip hardware attached)"
+                "ceiling_relative_efficiency divides out that measured "
+                "host saturation (ideal t(n) = n x single-device CPU "
+                "seconds / cores), isolating the sharding overhead the "
+                "harness can actually test (no multi-chip hardware "
+                "attached)"
     })
     return rows
 

@@ -131,6 +131,28 @@ def main(argv=None) -> int:
           f"({len(rec.am.units)} units)", file=sys.stderr)
 
     latencies = []
+    dispatches = []  # per-segment wall of the ONE fused jit call
+    bucket_samples_g = [1]  # set once the recognizer's bucket is known
+
+    # decompose each segment's latency: time the fused-dispatch call
+    # separately from the host-side work around it (round-4 verdict #7:
+    # "tunnel-RTT bound" was asserted, not measured — a device-side
+    # regression could hide inside the RTT)
+    inner_fn = rec._fused_segment_fn
+
+    buckets = []  # per-segment bucket count, aligned with `dispatches`
+
+    def timed_fn(sig, length):
+        import jax
+
+        t0 = time.perf_counter()
+        out = inner_fn(sig, length)
+        jax.block_until_ready(out)
+        dispatches.append(time.perf_counter() - t0)
+        buckets.append(int(sig.shape[0]) // bucket_samples_g[0])
+        return out
+
+    rec.__dict__["_fused_segment_fn"] = timed_fn
 
     class InstrumentedStream(StreamingRecognizer):
         def _cut_segment(self, start_f, end_f):
@@ -145,6 +167,7 @@ def main(argv=None) -> int:
     # 0.2-5 s; buckets are 1.28 s) plus one full streaming pass, so the
     # timed region contains zero compilation
     bucket_samples = rec.bucket_frames * rec.am.mfcc.config.frame_step
+    bucket_samples_g[0] = bucket_samples
     for k in range(1, 6):
         rec.decode_segment(np.zeros(k * bucket_samples - CHUNK, np.int16))
     for off in range(0, len(audio) - CHUNK, CHUNK):
@@ -153,8 +176,38 @@ def main(argv=None) -> int:
     n_warm = len(latencies)
     print(f"# warm-up: {n_warm} segments", file=sys.stderr)
 
+    # per-bucket DEVICE time by pipelined loop difference: enqueue M
+    # dispatches back-to-back and block once — the per-call wall beyond
+    # the first approximates on-device execution (enqueues overlap the
+    # round trip), so rtt ~= dispatch_wall - device_time per segment
+    import jax
+    import jax.numpy as jnp
+
+    device_ms = {}
+    reps = 20
+    for k in range(1, 6):
+        sig = jnp.zeros(k * bucket_samples, jnp.float32)
+        n_valid = jnp.asarray(k * bucket_samples - CHUNK, jnp.int32)
+        jax.block_until_ready(inner_fn(sig, n_valid))
+
+        def wall(m):
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(m):
+                out = inner_fn(sig, n_valid)
+            jax.block_until_ready(out)
+            return time.perf_counter() - t0
+
+        wall(2)
+        w1 = min(wall(1) for _ in range(5))
+        wn = min(wall(1 + reps) for _ in range(3))
+        device_ms[k] = round(max(wn - w1, 0.0) / reps * 1000, 3)
+    print(f"# device-time per bucket count: {device_ms} ms", file=sys.stderr)
+
     stream.reset()
     latencies.clear()
+    dispatches.clear()
+    buckets.clear()
     max_buffer = 0
     need_s = args.minutes * 60.0
     wall0 = time.perf_counter()
@@ -194,6 +247,32 @@ def main(argv=None) -> int:
         "chunk_ms": CHUNK * 1000 // SR,
         "device": jax.devices()[0].device_kind,
     }
+    # latency decomposition: per-segment host work vs the fused dispatch
+    # wall, the pipelined on-device estimate per bucket count, and the
+    # implied per-dispatch round trip (dispatch - device)
+    if dispatches and len(dispatches) == len(latencies):
+        disp = sorted(dispatches)
+        host = sorted(l - d for l, d in zip(latencies, dispatches))
+        rtts = sorted(
+            d - device_ms.get(k, 0.0) / 1000.0
+            for d, k in zip(dispatches, buckets)
+        )
+
+        def p(v, q):
+            return round(v[min(len(v) - 1, int(q / 100.0 * len(v)))] * 1000, 3)
+
+        out["decomposition_ms"] = {
+            "dispatch": {"p50": p(disp, 50), "p95": p(disp, 95),
+                         "p99": p(disp, 99)},
+            "host": {"p50": p(host, 50), "p95": p(host, 95)},
+            "device_by_bucket_count": device_ms,
+            "implied_rtt": {"p50": p(rtts, 50), "p95": p(rtts, 95)},
+            "note": "latency = host + dispatch; dispatch = device + "
+                    "round trip. device times are pipelined "
+                    "loop-difference estimates per bucket count, so a "
+                    "device-side regression moves device_by_bucket_count "
+                    "and implied_rtt stays put (and vice versa).",
+        }
     line = json.dumps(out)
     if args.out:
         with open(args.out, "w", encoding="utf-8") as fp:

@@ -92,6 +92,58 @@ def measurements(trials: int = 5, reps: int = TRAIN_REPS):
 
         return lambda: np.asarray(run(feats))
 
+    # ---- stage chains for the per-stage roofline (round-4 verdict #7:
+    # only the emission GEMM had measured accounting; the scan/posterior
+    # remainder was an unmeasured claim) -------------------------------
+    from lnasr_tpu.models.gmmhmm import _combine_stats, _sequence_stats
+    from lnasr_tpu.ops.trellis import backward_scan, forward_scan
+
+    log_b_full = jax.jit(
+        jax.vmap(lambda f: gmm_emissions_diag(f, log_w, mu, var)[0])
+    )(feats)
+    log_b_full.block_until_ready()
+
+    def scans_chain_at(t_sub):
+        lb = log_b_full[:, :t_sub]
+        mk = mask[:, :t_sub]
+
+        def make(nreps):
+            @jax.jit
+            def run(lb):
+                def body(i, acc):
+                    lbi = lb + i.astype(dtype) * 1e-6
+                    alpha, ll = jax.vmap(
+                        lambda b, m: forward_scan(log_pi, log_a, b, m)
+                    )(lbi, mk)
+                    beta = jax.vmap(
+                        lambda b, m: backward_scan(log_a, b, m)
+                    )(lbi, mk)
+                    return (acc + jnp.sum(ll)
+                            + jnp.sum(alpha[:, -1]) + jnp.sum(beta[:, 0]))
+
+                return jax.lax.fori_loop(0, nreps, body,
+                                         jnp.asarray(0.0, dtype))
+
+            return lambda: np.asarray(run(lb))
+
+        return make
+
+    def stats_chain(nreps):
+        @jax.jit
+        def run(obs):
+            def body(i, acc):
+                p = GMMHMMParams(log_a=log_a, log_pi=log_pi, log_w=log_w,
+                                 mu=mu + i.astype(dtype) * 1e-6, cov=var)
+                stats = jax.vmap(
+                    lambda o, m: _sequence_stats(p, o, m, "diag")
+                )(obs, mask)
+                c = _combine_stats(stats)
+                return acc + c.loglik + jnp.sum(c.first)
+
+            return jax.lax.fori_loop(0, nreps, body, jnp.asarray(0.0, dtype))
+
+        return lambda: np.asarray(run(feats))
+
     def per_call_trials(make, nreps):
         run_1, run_n = make(1), make(1 + nreps)
         run_1(), run_n()  # compile + warm
@@ -111,6 +163,9 @@ def measurements(trials: int = 5, reps: int = TRAIN_REPS):
     # window at ~35 ms so +-ms tunnel jitter is a few-percent effect
     # (at 100 reps this stage measured ABOVE speed of light)
     emis_samples = per_call_trials(emissions_chain, 5 * TPU_REPS)
+    scans_T = per_call_trials(scans_chain_at(t_frames), reps)
+    scans_half = per_call_trials(scans_chain_at(t_frames // 2), reps)
+    stats_samples = per_call_trials(stats_chain, reps)
 
     device = jax.devices()[0]
     peaks = _chip_peaks(device.device_kind)
@@ -139,12 +194,60 @@ def measurements(trials: int = 5, reps: int = TRAIN_REPS):
         emis["limiter"] = "mxu" if t_f >= t_b else "hbm"
         emis["pct_sol"] = 100.0 * max(t_f, t_b) / emis_s
 
+    # scan latency model from the T-slope (the Viterbi-kernel treatment,
+    # docs/performance.md): t(T) = intercept + slope * T for the batched
+    # forward+backward recursions; per-step slope IS the recurrence cost
+    t_full = statistics.median(scans_T)
+    t_half = statistics.median(scans_half)
+    slope = max(t_full - t_half, 1e-12) / (t_frames - t_frames // 2)
+    scans = {
+        "seconds_per_call": round(t_full, 6),
+        "seconds_at_half_T": round(t_half, 6),
+        "us_per_step": round(slope * 1e6, 3),
+        "intercept_s": round(t_full - slope * t_frames, 6),
+        "trials_s": [round(s, 6) for s in scans_T],
+        # per step the fwd+bwd recursions move 2 * B * N^2 max-plus/lse
+        # candidates: B=64, N=5 -> ~6.4k elemops, ~2 ns of VPU issue —
+        # the measured slope is therefore recurrence LATENCY (dependent
+        # add->lse chains), the same floor the Viterbi kernel hit
+        "vpu_floor_us_per_step": round(
+            2 * 2 * BATCH * N_STATES * N_STATES / 3.85e12 * 1e6, 5
+        ),
+    }
+    t_stats = statistics.median(stats_samples)
+    em_s = statistics.median(em_samples)
+    posterior_s = max(t_stats - t_full - emis_s, 0.0)
+    # posterior einsums: p (B,T,N,M) twice into (N,M,D) moments at
+    # HIGHEST (6 passes), plus the xi/gamma elementwise field
+    post_flops = 6 * 2 * 2 * bt * N_STATES * N_MIX * DIM
+    post_bytes = bt * N_STATES * N_MIX * 4 * 3  # xi_mix field, exp'd, read
+    stages_extra = {
+        "fwd_bwd_scans": scans,
+        "posterior_reductions": {
+            "seconds_derived": round(posterior_s, 6),
+            "derived_as": "stats_chain - scans - emissions (measured "
+                          "chains; see stats_seconds_per_call)",
+            "stats_seconds_per_call": round(t_stats, 6),
+            "mxu_flops": post_flops,
+            "hbm_bytes": post_bytes,
+            "pct_sol": round(
+                100.0 * max(post_flops / peaks[0], post_bytes / peaks[1])
+                / posterior_s, 2
+            ) if (peaks is not None and posterior_s > 0) else None,
+        },
+        "m_step": {
+            "seconds_derived": round(max(em_s - t_stats, 0.0), 6),
+            "derived_as": "full EM sweep - stats chain",
+        },
+    }
+
     sweeps = sorted(BATCH * UTT_SECONDS / s for s in em_samples)
     return {
         "device": device.device_kind,
         "sweep_throughputs": sweeps,
         "sweep_trials_s": [round(s, 6) for s in em_samples],
         "emissions": emis,
+        "stages_extra": stages_extra,
         "t_frames": t_frames,
     }
 
@@ -178,11 +281,14 @@ def main(argv=None):
             "emissions": {
                 k: (round(v, 3) if isinstance(v, float) else v)
                 for k, v in meas["emissions"].items()
-            }
+            },
+            **meas["stages_extra"],
         },
-        "note": "the non-GEMM remainder (forward/backward scans, posterior "
-                "reductions) is latency-bound on the T-step recurrence, "
-                "not flops-bound; see docs/performance.md",
+        "note": "every stage now carries measured numbers: the fwd/bwd "
+                "scans a T-slope latency model (us/step vs its ~ns VPU "
+                "floor - recurrence latency, as the Viterbi kernel), the "
+                "posterior einsums a chain-difference with SOL, the "
+                "M-step the sweep residual",
         "device": meas["device"],
     }
     line = json.dumps(out)
