@@ -158,7 +158,12 @@ def main(argv=None) -> int:
     dim, n_states = 8, 3
     v = len(decode_words)
     cfg = GMMHMMConfig(n_states=n_states, n_mix=1, dim=dim)
-    means = rng.normal(scale=30.0, size=(v, dim))
+    # words come in clusters of 4 acoustically-confusable neighbours
+    # (base mean + small jitter): the round-4 lattice degenerated to ONE
+    # hypothesis because every word was 30 sigma from every other, so
+    # "N-best" and rescoring were vacuous at this scale
+    base = rng.normal(scale=30.0, size=(-(-v // 4), dim))
+    means = base[np.arange(v) // 4] + rng.normal(scale=0.6, size=(v, dim))
     with np.errstate(divide="ignore"):
         log_a = np.log(np.where(np.eye(n_states) + np.eye(n_states, k=1) > 0,
                                 0.5, 0.0)).astype(np.float32)
@@ -168,7 +173,7 @@ def main(argv=None) -> int:
             log_w=np.zeros((n_states, 1), np.float32),
             mu=(means[i][None, None, :]
                 + np.arange(n_states)[:, None, None] * 0.5).astype(np.float32),
-            cov=np.full((n_states, 1, dim), 0.05, np.float32),
+            cov=np.full((n_states, 1, dim), 1.0, np.float32),
         )
         for i, w in enumerate(decode_words)
     }
@@ -180,7 +185,9 @@ def main(argv=None) -> int:
     )
     t_build = time.perf_counter() - t0
 
-    # plant a real corpus sentence's word sequence in the emissions
+    # plant a real corpus sentence's word sequence in the emissions, at a
+    # noise level that leaves the confusable cluster neighbours alive in
+    # the search (real N-best material, not a degenerate one-path lattice)
     planted = [w for w in train[0] if w in units][:8]
     if len(planted) < 3:
         planted = decode_words[:5]
@@ -190,7 +197,7 @@ def main(argv=None) -> int:
         for s in range(n_states):
             row = int(np.asarray(graph.state_map)[wi, s])
             frames += [np.asarray(graph.mu)[row, 0]
-                       + rng.normal(scale=0.05, size=dim)] * 4
+                       + rng.normal(scale=1.0, size=dim)] * 4
     frames = jnp.asarray(np.asarray(frames, np.float32))
     t0 = time.perf_counter()
     words_out, _, score = graph.decode(frames)
@@ -199,26 +206,94 @@ def main(argv=None) -> int:
     t0 = time.perf_counter()
     words_out, _, score = graph.decode(frames)
     t_decode = time.perf_counter() - t0
+    from lnasr_tpu.utils.metrics import edit_distance
+
+    dist, _ = edit_distance(planted, words_out)
     out["decode"] = {
         "vocab": v, "graph_build_s": round(t_build, 2),
         "first_decode_s": round(t_first, 2),
         "warm_decode_s": round(t_decode, 4),
         "frames": int(frames.shape[0]),
         "planted_recovered": words_out == planted,
+        "edit_distance_to_planted": int(dist),
         "backend": jax.default_backend(),
     }
-    assert words_out == planted, f"planted {planted}, decoded {words_out}"
+    # the vocabulary is built confusable ON PURPOSE (clusters of 4
+    # near-identical words) so the lattice carries real alternatives;
+    # the 1-best may confuse cluster neighbours, but every error must
+    # stay WITHIN the acoustic cluster (a cross-cluster error would be a
+    # real search bug, not designed-in confusability)
+    idx = {w: int(w[1:]) for w in decode_words}
 
-    # lattice N-best + trigram rescoring through the same graph
+    def cluster_ok(ref, hyp):
+        it = iter(hyp)
+        extra = [w for w in hyp if w not in ref]
+        return all(
+            any(idx[e] // 4 == idx[r] // 4 for r in ref) for e in extra
+        )
+
+    assert dist <= max(1, len(planted) // 2) and cluster_ok(
+        planted, words_out
+    ), f"planted {planted}, decoded {words_out}"
+
+    # the backoff-factored hop (the large-vocabulary realization) must
+    # decode the same words at this scale without a (V, V) matrix
+    t0 = time.perf_counter()
+    graph_bo = FactoredDecodingGraph.build(
+        lex, units, m, DecoderConfig(loop=True, lm_scale=1.0),
+        dtype=jnp.float32, hop_mode="backoff",
+    )
+    t_build_bo = time.perf_counter() - t0
+    words_bo, _, _ = graph_bo.decode(frames)
+    out["decode"]["backoff_mode"] = {
+        "graph_build_s": round(t_build_bo, 2),
+        "k_max_in_degree": int(np.asarray(graph_bo.hop.pred).shape[1]),
+        "clamped_arcs": graph_bo.hop_clamped,
+        "words_match_dense": words_bo == words_out,
+    }
+    assert words_bo == words_out, "backoff-mode decode diverged"
+
+    # lattice N-best + trigram rescoring through the same graph. The
+    # round-5 bars (round-4 verdict #4): the lattice must carry REAL
+    # alternatives (>= 5 distinct hypotheses), trigram rescoring must
+    # REORDER the bigram list (not just preserve rank 1), and the n=50
+    # rescore cost is timed.
     t0 = time.perf_counter()
     lattice = graph.decode_lattice(frames)
-    hyps = lattice.rescore(m, n=5)
     t_lat = time.perf_counter() - t0
+    bigram_hyps = lattice.nbest(50)
+    t0 = time.perf_counter()
+    hyps = lattice.rescore(m, n=50, pool=200)
+    t_rescore50 = time.perf_counter() - t0
+    bigram_order = [tuple(h.words) for h in bigram_hyps]
+    rescored_order = [tuple(h.words) for h in hyps]
+    # rank change: some hypothesis moved relative to its bigram rank
+    rank_changed = any(
+        bigram_order.index(w) != i
+        for i, w in enumerate(rescored_order)
+        if w in bigram_order
+    )
     out["lattice"] = {
-        "nbest_rescore_s": round(t_lat, 2),
+        "decode_lattice_s": round(t_lat, 2),
+        "rescore_n50_s": round(t_rescore50, 3),
         "top_matches_planted": hyps[0].words == planted,
         "n_hyps": len(hyps),
+        "n_distinct_bigram_hyps": len(set(bigram_order)),
+        "rescoring_reordered": bool(rank_changed),
+        "tokens": len(lattice),
     }
+    out["lattice"]["planted_in_rescored_list"] = tuple(planted) in {
+        tuple(h.words) for h in hyps
+    }
+    d_res, _ = edit_distance(planted, list(hyps[0].words))
+    out["lattice"]["rescored_top_edit_distance"] = int(d_res)
+    assert len(hyps) >= 5, f"degenerate N-best: {len(hyps)} hypotheses"
+    assert rank_changed, "trigram rescoring changed no ranks"
+    # rescoring with the full trigram must not be WORSE than the bigram
+    # search's 1-best on the planted sequence
+    assert d_res <= dist, (
+        f"rescoring hurt: {d_res} vs bigram 1-best {dist}"
+    )
 
     out["metric"] = "corpus-scale LM + 1k-word decode stress"
     out["value"] = out[("good_turing")]["held_out_ppl"]

@@ -140,6 +140,132 @@ def _plot_vad(path, audio, flags, frame, segments, sr, detector) -> None:
     plt.close(fig)
 
 
+def _plot_am(path: str, examples, units) -> None:
+    """Trained-model inspection: training frames projected onto the
+    pooled features' top-2 PCA plane with each unit's per-state mixture
+    components drawn as 2-sigma ellipses — the debugging view the
+    reference's Gaussian surface/contour plots provide in 1-D/2-D
+    (``test/gmm-test.py:20-94``), adapted to 39-dim acoustic models."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib.patches import Ellipse
+
+    pooled = np.concatenate(
+        [f for exs in examples.values() for f in exs], axis=0
+    ).astype(np.float64)
+    mean = pooled.mean(axis=0)
+    centered = pooled - mean
+    cov = centered.T @ centered / max(len(pooled) - 1, 1)
+    evals, evecs = np.linalg.eigh(cov)
+    proj = evecs[:, -2:][:, ::-1]  # (D, 2) top-2 plane
+
+    fig, ax = plt.subplots(figsize=(10, 8), constrained_layout=True)
+    pts = centered @ proj
+    step = max(1, len(pts) // 3000)
+    ax.scatter(pts[::step, 0], pts[::step, 1], s=2, color="#bbb",
+               label="training frames", zorder=1)
+
+    names = sorted(units)
+    shown = names[:12] + (["<sil>"] if "<sil>" in names[12:] else [])
+    cmap = plt.get_cmap("tab20")
+    for ui, unit in enumerate(shown):
+        m = units[unit]
+        color = cmap(ui % 20)
+        mu = np.asarray(m.mu, np.float64)  # (N, M, D)
+        var = np.asarray(m.cov, np.float64)  # (N, M, D) diag
+        if var.ndim == 4:
+            var = np.einsum("nmii->nmi", var)
+        first = True
+        for s in range(mu.shape[0]):
+            for k in range(mu.shape[1]):
+                c2 = proj.T @ (var[s, k][:, None] * proj)  # (2, 2)
+                ev, evec = np.linalg.eigh(c2)
+                ang = float(np.degrees(np.arctan2(evec[1, 1], evec[0, 1])))
+                center = (mu[s, k] - mean) @ proj
+                ax.add_patch(Ellipse(
+                    center, 4 * np.sqrt(max(ev[1], 0)),
+                    4 * np.sqrt(max(ev[0], 0)), angle=ang,
+                    fill=False, color=color, lw=1.0,
+                    label=unit if first else None, zorder=2,
+                ))
+                first = False
+    if len(names) > len(shown):
+        ax.set_title(f"unit mixtures over PCA plane "
+                     f"(first {len(shown)} of {len(names)} units)")
+    else:
+        ax.set_title("unit mixtures over the pooled-feature PCA plane")
+    ax.set_xlabel("PC 1")
+    ax.set_ylabel("PC 2")
+    ax.legend(loc="upper right", fontsize=7, ncol=2)
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
+
+
+def _plot_decode(path: str, rec, audio, segs) -> None:
+    """Decode inspection: per-frame best-state emission log-likelihood
+    per word (top rows by peak) as a trellis heatmap, with the decoded
+    word spans overlaid — the view that shows WHY a word won (the round-4
+    w9-substitution cluster was diagnosed by hand-building exactly
+    this)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from lnasr_tpu.ops.gaussian import gmm_emissions_diag, gmm_emissions_full
+
+    graph = rec.graph
+    feats = rec.am.features(np.asarray(audio))
+    obs = np.asarray(feats)
+    if graph.cov_type == "diag":
+        log_b, _ = gmm_emissions_diag(obs, graph.log_w, graph.mu, graph.cov)
+    else:
+        log_b, _ = gmm_emissions_full(obs, graph.log_w, graph.mu, graph.cov)
+    log_b = np.asarray(log_b)  # (T, rows)
+    if hasattr(graph, "state_map"):  # factored / trigram (V, S) grid
+        sm = np.asarray(graph.state_map)
+        pm = np.asarray(graph.pad_mask)
+        rows_of = [sm[w][pm[w]] for w in range(len(graph.words))]
+    else:  # dense graph: emission rows ARE the composed states
+        sw = np.asarray(graph.state_word)
+        rows_of = [np.flatnonzero(sw == w) for w in range(len(graph.words))]
+    per_word = np.stack([
+        log_b[:, rows].max(axis=1) for rows in rows_of
+    ])  # (V, T)
+    peak = per_word.max(axis=1)
+    top = np.argsort(-peak)[: min(30, len(graph.words))]
+    top = top[np.argsort([graph.words[i] for i in top])]
+
+    cfg = rec.am.mfcc.config
+    sr = float(rec.sample_rate)
+    t_axis = len(obs) * cfg.frame_step / sr
+
+    fig, ax = plt.subplots(figsize=(12, 7), constrained_layout=True)
+    img = ax.imshow(
+        per_word[top], aspect="auto", origin="lower", cmap="viridis",
+        extent=(0, t_axis, -0.5, len(top) - 0.5),
+        vmin=np.percentile(per_word[top], 5),
+    )
+    fig.colorbar(img, ax=ax, label="best-state emission log-likelihood")
+    ax.set_yticks(range(len(top)))
+    ax.set_yticklabels([graph.words[i] for i in top], fontsize=7)
+    row_of = {int(i): r for r, i in enumerate(top)}
+    word_idx = {w: i for i, w in enumerate(graph.words)}
+    for seg in segs:
+        for w, a, b in seg.word_times or []:
+            r = row_of.get(word_idx.get(w, -1))
+            if r is None:
+                continue
+            ax.plot([a, b], [r, r], color="#f33", lw=3, alpha=0.9)
+            ax.text(a, r + 0.25, w, color="#f33", fontsize=7)
+    ax.set_xlabel("seconds")
+    ax.set_title("decode trellis: per-word emission heatmap + decoded spans")
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
+
+
 def _cmd_train_seg(args) -> int:
     from lnasr_tpu.models.seg import Seg, SegDataSet
 
@@ -236,6 +362,9 @@ def _cmd_train_am(args) -> int:
                                  train_config=train_cfg,
                                  unit_configs={"<sil>": sil_cfg})
     am.save(args.output)
+    if args.plot:
+        _plot_am(args.plot, examples, am.units)
+        print(f"mixture-ellipse plot -> {args.plot}", file=sys.stderr)
     with open(f"{args.output}/am_config.json", "w", encoding="utf-8") as fp:
         json.dump({
             "n_states": args.states, "n_mix": args.mix,
@@ -363,6 +492,10 @@ def _cmd_recognize(args) -> int:
         d = wer_details(args.ref.split(), hyp.split())
         print(f"WER {d['wer']:.3f}  (sub {d['sub']} del {d['del']} "
               f"ins {d['ins']} / {d['n_ref']} ref words)", file=sys.stderr)
+    if args.plot:
+        segs_t = rec.recognize_segments(audio, word_times=True)
+        _plot_decode(args.plot, rec, audio, segs_t)
+        print(f"decode-trellis plot -> {args.plot}", file=sys.stderr)
     return 0
 
 
@@ -432,6 +565,9 @@ def main(argv=None) -> int:
                    help="mixtures for the '<sil>' unit (covers varied "
                         "noise conditions)")
     p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--plot", default=None, metavar="FILE.png",
+                   help="write a mixture-ellipse inspection figure of the "
+                        "trained units over the pooled-feature PCA plane")
     p.add_argument("--mean-norm", action="store_true",
                    help="per-utterance cepstral mean subtraction (off by "
                         "default: connected decoding must match isolated "
@@ -485,6 +621,9 @@ def main(argv=None) -> int:
                         "one fused program per bucket instead of one per "
                         "segment length (recommended 128 with --tpu; "
                         "requires a model trained without --mean-norm)")
+    p.add_argument("--plot", default=None, metavar="FILE.png",
+                   help="write a decode-trellis figure: per-word emission "
+                        "heatmap with the decoded word spans overlaid")
     p.add_argument("--tpu", action="store_true",
                    help="run on the accelerator (default: pin host CPU)")
     p.set_defaults(fn=_cmd_recognize)

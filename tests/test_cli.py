@@ -261,3 +261,31 @@ def test_cli_recognize_bucketed(cli_models, capsys):
     assert rc == 0
     bucketed = capsys.readouterr().out.strip().splitlines()[-1]
     assert bucketed == plain
+
+
+def test_cli_train_am_plot(cli_models, tmp_path):
+    """train-am --plot writes the mixture-ellipse inspection PNG
+    headlessly (re-trains the tiny model with the flag)."""
+    tmp, amdir, lex, lm, _ = cli_models
+    png = tmp_path / "am.png"
+    rc = cli_main(["train-am", str(tmp / "train.manifest"),
+                   str(tmp_path / "am2"), "--states", "3", "--mix", "2",
+                   "--iters", "2", "--plot", str(png)])
+    assert rc == 0
+    assert png.exists() and png.stat().st_size > 2000
+
+
+def test_cli_recognize_plot(cli_models, tmp_path, capsys):
+    """recognize --plot writes the decode-trellis heatmap PNG."""
+    tmp, amdir, lex, lm, _ = cli_models
+    rng = np.random.default_rng(9)
+    utt = np.concatenate([_gap(rng, 0.25), _word_audio("mid", rng),
+                          _gap(rng, 0.25)])
+    wav = tmp_path / "utt.pcm"
+    write_pcm(str(wav), utt)
+    png = tmp_path / "decode.png"
+    rc = cli_main(["recognize", str(wav), "--am", str(amdir),
+                   "--lex", str(lex), "--lm", str(lm),
+                   "--vad", "webrtc", "--plot", str(png)])
+    assert rc == 0
+    assert png.exists() and png.stat().st_size > 2000
