@@ -458,6 +458,7 @@ def _cmd_recognize(args) -> int:
             word_insertion_penalty=args.word_penalty,
         ),
         bucket_frames=args.bucket_frames,
+        hop_mode=args.hop_mode,
     )
     audio = _read_audio(args.audio, sr)
     if args.nbest > 1 or args.rescore_lm or args.confidence:
@@ -621,6 +622,13 @@ def main(argv=None) -> int:
                         "one fused program per bucket instead of one per "
                         "segment length (recommended 128 with --tpu; "
                         "requires a model trained without --mean-norm)")
+    p.add_argument("--hop-mode", choices=["auto", "dense", "backoff",
+                                          "rank1"], default="auto",
+                   help="factored-graph word-hop realization: dense (V,V) "
+                        "matrix, backoff = exact rank-1+sparse Katz "
+                        "factors (large vocabularies), rank1 = word-loop "
+                        "pruning for the Pallas kernels (pair with "
+                        "--rescore-lm); auto picks by vocabulary size")
     p.add_argument("--plot", default=None, metavar="FILE.png",
                    help="write a decode-trellis figure: per-word emission "
                         "heatmap with the decoded word spans overlaid")

@@ -160,6 +160,7 @@ class Recognizer:
         decoder_config: DecoderConfig = DecoderConfig(),
         graph: str = "auto",
         bucket_frames: int = 0,
+        hop_mode: str = "auto",
     ):
         """``bucket_frames`` > 0 enables shape-bucketed serving: segment
         audio is zero-padded so feature counts land on multiples of the
@@ -176,7 +177,15 @@ class Recognizer:
         trigram LM; requires an order-3 model for it to differ from
         factored), or ``"auto"`` (factored once the composed state count
         exceeds :data:`DENSE_STATE_LIMIT`). dense/factored decode identical
-        words and scores (parity-tested)."""
+        words and scores (parity-tested).
+
+        ``hop_mode`` (factored graph only) selects the word-hop
+        realization — ``"dense"`` (V, V) matrix, ``"backoff"`` rank-1 +
+        sparse Katz factors (exact, O(V + E) memory, the large-vocabulary
+        form), or ``"rank1"`` (word-loop pruning: rides the rank-1
+        Pallas kernels past the dense VMEM cap; recover full-LM accuracy
+        via ``recognize_nbest(rescore_lm=...)``); ``"auto"`` picks dense
+        up to ~1,800 words, backoff beyond."""
         self.am = am
         self.lexicon = lexicon
         self.lm = lm
@@ -217,6 +226,7 @@ class Recognizer:
             )
         elif graph in ("dense", "factored"):
             graph_cls = DecodingGraph if graph == "dense" else FactoredDecodingGraph
+            kw = {"hop_mode": hop_mode} if graph == "factored" else {}
             self.graph = graph_cls.build(
                 lexicon,
                 am.units,
@@ -224,6 +234,7 @@ class Recognizer:
                 decoder_config,
                 silence_model=silence,
                 dtype=am.dtype,
+                **kw,
             )
         else:
             raise ValueError(f"unknown graph type: {graph!r}")
