@@ -528,19 +528,30 @@ def main(argv=None) -> int:
     ap.add_argument("--out", default="BENCH_DECODER.json")
     args = ap.parse_args(argv)
 
-    rows = [
-        bench_factored_decode(args.vocab, args.frames),
-        bench_lattice(args.vocab, args.frames),
-        bench_dense_kernel(args.n, args.t),
-        bench_large_vocab(5000, args.t),
-        bench_large_vocab(10000, args.t, with_dense=False),
+    benches = [
+        ("factored_1k", lambda: bench_factored_decode(args.vocab, args.frames)),
+        ("lattice_1k", lambda: bench_lattice(args.vocab, args.frames)),
+        ("dense_kernel", lambda: bench_dense_kernel(args.n, args.t)),
+        ("large_vocab_5k", lambda: bench_large_vocab(5000, args.t)),
+        ("large_vocab_10k",
+         lambda: bench_large_vocab(10000, args.t, with_dense=False)),
     ]
-    for r in rows:
-        print(json.dumps(r))
+    rows = []
+    failed = False
+    for name, fn in benches:
+        # print incrementally and survive one bench faulting the device
+        # (a tunnel/TPU fault must not discard the completed rows)
+        try:
+            r = fn()
+        except Exception as e:  # noqa: BLE001 - record and continue
+            r = {"metric": name, "error": f"{type(e).__name__}: {e}"}
+            failed = True
+        rows.append(r)
+        print(json.dumps(r), flush=True)
     if args.out:
         with open(args.out, "w", encoding="utf-8") as fp:
             json.dump(rows, fp, indent=2)
-    return 0
+    return 1 if failed else 0
 
 
 if __name__ == "__main__":

@@ -158,7 +158,7 @@ def _plot_am(path: str, examples, units) -> None:
     mean = pooled.mean(axis=0)
     centered = pooled - mean
     cov = centered.T @ centered / max(len(pooled) - 1, 1)
-    evals, evecs = np.linalg.eigh(cov)
+    _, evecs = np.linalg.eigh(cov)
     proj = evecs[:, -2:][:, ::-1]  # (D, 2) top-2 plane
 
     fig, ax = plt.subplots(figsize=(10, 8), constrained_layout=True)
