@@ -267,58 +267,92 @@ def bench_large_vocab(vocab: int, n_frames: int, dim: int = 8,
 
             return lambda: run(frames)
 
+        # probe: second-scale realizations are timed as single dispatches
+        # (RTT noise is then <2% and a reps-long single dispatch trips
+        # the tunnel's RPC deadline — the 10k backoff row did exactly
+        # that); sub-second ones use the loop-difference method
+        single = make_loop(1)
+        _sync(single())
+        t_probe = _timed_once(single)
+        if t_probe > 1.0:
+            import statistics as _st
+
+            return _st.median(_timed_once(single) for _ in range(3))
         return _loop_diff_seconds(make_loop, reps=reps)
 
     audio_s = n_frames * 0.010
     rows = {}
+
+    def guarded(name, fn):
+        # one faulting realization must not discard the others' rows
+        try:
+            rows[name] = fn()
+        except Exception as e:  # noqa: BLE001
+            rows[name] = {"error": f"{type(e).__name__}: {e}"}
 
     g_bo = FactoredDecodingGraph.build(
         lex, units, lm, dcfg, dtype=jnp.float32, hop_mode="backoff",
         hop_max_in_degree=max_in_degree,
     )
     k = int(np.asarray(g_bo.hop.pred).shape[1])
-    t_bo = timed(g_bo, g_bo._decode_fn)
-    rows["backoff_scan"] = {
-        "seconds": round(t_bo, 4), "audio_s_per_s": round(audio_s / t_bo, 1),
-        "k_max_in_degree": k, "clamped_arcs": g_bo.hop_clamped,
-        "sol": _backoff_sol(vocab, k, n_frames, t_bo),
-    }
+
+    def run_backoff():
+        t_bo = timed(g_bo, g_bo._decode_fn)
+        return {
+            "seconds": round(t_bo, 4),
+            "audio_s_per_s": round(audio_s / t_bo, 1),
+            "k_max_in_degree": k, "clamped_arcs": g_bo.hop_clamped,
+            "sol": _backoff_sol(vocab, k, n_frames, t_bo),
+        }
+
+    guarded("backoff_scan", run_backoff)
 
     g_r1 = FactoredDecodingGraph.build(
         lex, units, lm, dcfg, dtype=jnp.float32, hop_mode="rank1",
     )
     kernel_ok = on_tpu and factored_rank1_ok(n_frames, vocab)
-    fn = g_r1._decode_fn_pallas if kernel_ok else g_r1._decode_fn
-    t_r1 = timed(g_r1, fn)
-    rows["rank1" + ("_pallas" if kernel_ok else "_scan")] = {
-        "seconds": round(t_r1, 4), "audio_s_per_s": round(audio_s / t_r1, 1),
-        "pruned_arcs": g_r1.hop_pruned_edges,
-        "sol": _rank1_sol(vocab, n_frames, t_r1),
-    }
+
+    def run_rank1():
+        fn = g_r1._decode_fn_pallas if kernel_ok else g_r1._decode_fn
+        t_r1 = timed(g_r1, fn)
+        return {
+            "seconds": round(t_r1, 4),
+            "audio_s_per_s": round(audio_s / t_r1, 1),
+            "pruned_arcs": g_r1.hop_pruned_edges,
+            "sol": _rank1_sol(vocab, n_frames, t_r1),
+        }
+
+    guarded("rank1" + ("_pallas" if kernel_ok else "_scan"), run_rank1)
+
     # decoded words agree between exact realizations of different modes?
     # (rank1 prunes arcs, so only sanity-check it decodes SOMETHING)
-    w_bo, _, _ = g_bo.decode(frames)
-    w_r1, _, _ = g_r1.decode(frames)
-    rows["hyp_lengths"] = {"backoff": len(w_bo), "rank1": len(w_r1)}
+    def run_hyps():
+        w_bo, _, _ = g_bo.decode(frames)
+        w_r1, _, _ = g_r1.decode(frames)
+        return {"backoff": len(w_bo), "rank1": len(w_r1)}
+
+    guarded("hyp_lengths", run_hyps)
 
     if with_dense:
-        g_d = FactoredDecodingGraph.build(
-            lex, units, lm, dcfg, dtype=jnp.float32, hop_mode="dense",
-        )
-        t_d = timed(g_d, g_d._decode_fn, reps=3)
-        v_pad = max(128, -(-vocab // 128) * 128)
-        hbm = n_frames * v_pad * v_pad * 4  # the hop matrix, every frame
-        rows["dense_scan"] = {
-            "seconds": round(t_d, 4),
-            "audio_s_per_s": round(audio_s / t_d, 1),
-            "sol": {
-                "hbm_bytes": hbm,
-                "t_floor_s": round(hbm / _HBM_BPS, 4),
-                "limiter": "hbm (V^2*4 B/frame hop re-read)",
-                "pct_sol": round(100.0 * hbm / _HBM_BPS / t_d, 2),
-            },
-        }
-        del g_d
+        def run_dense():
+            g_d = FactoredDecodingGraph.build(
+                lex, units, lm, dcfg, dtype=jnp.float32, hop_mode="dense",
+            )
+            t_d = timed(g_d, g_d._decode_fn, reps=3)
+            v_pad = max(128, -(-vocab // 128) * 128)
+            hbm = n_frames * v_pad * v_pad * 4  # the hop matrix, every frame
+            return {
+                "seconds": round(t_d, 4),
+                "audio_s_per_s": round(audio_s / t_d, 1),
+                "sol": {
+                    "hbm_bytes": hbm,
+                    "t_floor_s": round(hbm / _HBM_BPS, 4),
+                    "limiter": "hbm (V^2*4 B/frame hop re-read)",
+                    "pct_sol": round(100.0 * hbm / _HBM_BPS / t_d, 2),
+                },
+            }
+
+        guarded("dense_scan", run_dense)
 
     return {
         "metric": f"large-vocabulary decode ({vocab} words, LM-weighted)",

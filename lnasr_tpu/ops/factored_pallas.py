@@ -57,10 +57,10 @@ _TC = 16  # frames per grid step (dense hop; rank-1 adapts to V)
 def _rank1_tc(v_pad: int) -> int:
     """Frames per grid step for the rank-1 hop kernels: the (TC, S, V)
     emission/grid blocks are the VMEM driver once the (V, V) matrix is
-    gone, so TC shrinks as V grows (power of 4-unroll preserved)."""
-    if v_pad <= 2048:
-        return 16
-    return 8 if v_pad <= 8192 else 4
+    gone, so TC shrinks as V grows. TC=8 is the floor — Pallas requires
+    the 2-D output blocks' second-minor dim divisible by 8 (a TC=4 tier
+    failed exactly that lowering check at V=10k on hardware)."""
+    return 16 if v_pad <= 2048 else 8
 
 
 def _rank1_entry_rows(exit_row, hopr_ref):
@@ -520,7 +520,7 @@ def factored_pallas_ok(t_len: int, v_words: int,
 
 
 def factored_rank1_ok(t_len: int, v_words: int,
-                      vmem_budget: int = 13 * 1024 * 1024,
+                      vmem_budget: int = 15 * 1024 * 1024 + 512 * 1024,
                       hbm_budget: int = 2 * 1024**3) -> bool:
     """Capacity check for the rank-1 (word-loop) hop kernels: with no
     (V, V) matrix the VMEM drivers are the inner blocks and the
@@ -530,7 +530,7 @@ def factored_rank1_ok(t_len: int, v_words: int,
     over)."""
     v_pad = max(_LANES, -(-v_words // _LANES) * _LANES)
     tc = _rank1_tc(v_pad)
-    vmem = (_SUB * _SUB * v_pad + 6 * _SUB * v_pad
+    vmem = (_SUB * _SUB * v_pad + 7 * _SUB * v_pad
             + 4 * tc * _SUB * v_pad) * 4 + _LANES * _LANES * 2
     hbm = (-(-t_len // tc) * tc) * _SUB * v_pad * 4
     return vmem <= vmem_budget and hbm <= hbm_budget
