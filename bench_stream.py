@@ -143,11 +143,11 @@ def main(argv=None) -> int:
     buckets = []  # per-segment bucket count, aligned with `dispatches`
 
     def timed_fn(sig, length):
-        import jax
-
+        # wall of the ENQUEUE only — forcing completion here would add a
+        # round trip the production path does not have (it blocks once,
+        # at the result fetch, which lands in the host share)
         t0 = time.perf_counter()
         out = inner_fn(sig, length)
-        jax.block_until_ready(out)
         dispatches.append(time.perf_counter() - t0)
         buckets.append(int(sig.shape[0]) // bucket_samples_g[0])
         return out
@@ -254,24 +254,27 @@ def main(argv=None) -> int:
         disp = sorted(dispatches)
         host = sorted(l - d for l, d in zip(latencies, dispatches))
         rtts = sorted(
-            d - device_ms.get(k, 0.0) / 1000.0
-            for d, k in zip(dispatches, buckets)
+            (l - d) - device_ms.get(k, 0.0) / 1000.0
+            for l, d, k in zip(latencies, dispatches, buckets)
         )
 
         def p(v, q):
             return round(v[min(len(v) - 1, int(q / 100.0 * len(v)))] * 1000, 3)
 
         out["decomposition_ms"] = {
-            "dispatch": {"p50": p(disp, 50), "p95": p(disp, 95),
-                         "p99": p(disp, 99)},
-            "host": {"p50": p(host, 50), "p95": p(host, 95)},
+            "dispatch_enqueue": {"p50": p(disp, 50), "p95": p(disp, 95),
+                                 "p99": p(disp, 99)},
+            "host_and_fetch": {"p50": p(host, 50), "p95": p(host, 95)},
             "device_by_bucket_count": device_ms,
-            "implied_rtt": {"p50": p(rtts, 50), "p95": p(rtts, 95)},
-            "note": "latency = host + dispatch; dispatch = device + "
-                    "round trip. device times are pipelined "
-                    "loop-difference estimates per bucket count, so a "
-                    "device-side regression moves device_by_bucket_count "
-                    "and implied_rtt stays put (and vice versa).",
+            "wait_beyond_device": {"p50": p(rtts, 50), "p95": p(rtts, 95)},
+            "note": "latency = dispatch_enqueue (async submit) + "
+                    "host_and_fetch (padding + ONE device_get round trip "
+                    "+ path assembly). device_by_bucket_count is the "
+                    "pipelined on-device execution estimate — a "
+                    "device-side regression moves it while the transport "
+                    "shares stay put; wait_beyond_device = host_and_fetch "
+                    "minus the matching device time (the transport+python "
+                    "share).",
         }
     line = json.dumps(out)
     if args.out:

@@ -535,8 +535,7 @@ class DecodingGraph:
         obs = jnp.asarray(features, self.dtype)
         if mask is not None:
             mask = jnp.asarray(mask, bool)
-        path, score = self.decode_arrays(obs, mask)
-        path = np.asarray(path)
+        path, score = jax.device_get(self.decode_arrays(obs, mask))
         words_out = self._path_to_words(path)
         return words_out, path, float(score)
 
@@ -1072,8 +1071,7 @@ class FactoredDecodingGraph:
         obs = jnp.asarray(features, self.dtype)
         if mask is not None:
             mask = jnp.asarray(mask, bool)
-        path, score = self.decode_arrays(obs, mask)
-        path = np.asarray(path)
+        path, score = jax.device_get(self.decode_arrays(obs, mask))
         return self._path_to_words(path), path, float(score)
 
     def decode_arrays(self, obs, mask):
@@ -1598,8 +1596,7 @@ class TrigramDecodingGraph:
         obs = jnp.asarray(features, self.dtype)
         if mask is not None:
             mask = jnp.asarray(mask, bool)
-        path, score = self.decode_arrays(obs, mask)
-        path = np.asarray(path)
+        path, score = jax.device_get(self.decode_arrays(obs, mask))
         return self._path_to_words(path), path, float(score)
 
     def decode_arrays(self, obs, mask):

@@ -356,14 +356,23 @@ class Recognizer:
         return jax.jit(fn)
 
     def _decode_segment_padded(self, audio_seg):
-        """Bucket-padded fused decode: returns ``(path, score, n_valid)``."""
-        import jax.numpy as jnp
+        """Bucket-padded fused decode: returns ``(path, score, n_valid)``.
+
+        Results come back through ONE ``jax.device_get`` — per-array
+        ``np.asarray`` fetches each pay a full round trip on a tunneled
+        deployment, and the round-5 latency decomposition
+        (``STREAM_r05.json``) showed RTT-class transfers, not device
+        time, dominating segment latency."""
+        import jax
 
         padded, n, n_valid = self._pad_to_bucket(audio_seg)
-        path, score = self._fused_segment_fn(
-            jnp.asarray(padded), jnp.asarray(n, jnp.int32)
-        )
-        return np.asarray(path), float(score), n_valid
+        # hand jit the HOST array: the transfer rides the dispatch
+        # instead of a separate blocking upload (a second RTT-class
+        # stall in the round-5 latency decomposition)
+        path, score = jax.device_get(self._fused_segment_fn(
+            padded, np.int32(n)
+        ))
+        return path, float(score), n_valid
 
     @functools.cached_property
     def _fused_lattice_fn(self):
@@ -407,16 +416,15 @@ class Recognizer:
         if not self.bucket_frames:
             feats, mask = self._segment_features(audio_seg)
             return self.graph.decode_lattice(feats, mask, beam=beam)
-        import jax.numpy as jnp
+        import jax
 
         padded, n, n_valid = self._pad_to_bucket(audio_seg)
-        score, start, pred = self._fused_lattice_fn(
-            jnp.asarray(padded), jnp.asarray(n, jnp.int32)
-        )
+        score, start, pred = jax.device_get(self._fused_lattice_fn(
+            padded, np.int32(n)
+        ))
         graph = self.graph
         return WordLattice.from_records(
-            graph.words, np.asarray(score)[:n_valid],
-            np.asarray(start)[:n_valid], np.asarray(pred)[:n_valid],
+            graph.words, score[:n_valid], start[:n_valid], pred[:n_valid],
             graph.host_hop(), np.asarray(graph.log_pi_w),
             np.asarray(graph.log_final_w), beam=beam,
         )
