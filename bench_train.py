@@ -234,6 +234,15 @@ def measurements(trials: int = 5, reps: int = TRAIN_REPS):
                 100.0 * max(post_flops / peaks[0], post_bytes / peaks[1])
                 / posterior_s, 2
             ) if (peaks is not None and posterior_s > 0) else None,
+            # a derived residual SMALLER than its own analytic floor means
+            # the chain difference is inside timing noise at this
+            # magnitude — the stage is tens of microseconds against
+            # multi-hundred-microsecond chains
+            "below_floor_means_noise_limited": bool(
+                peaks is not None and posterior_s > 0
+                and posterior_s < max(post_flops / peaks[0],
+                                      post_bytes / peaks[1])
+            ),
         },
         "m_step": {
             "seconds_derived": round(max(em_s - t_stats, 0.0), 6),
