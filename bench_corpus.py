@@ -226,7 +226,6 @@ def main(argv=None) -> int:
     idx = {w: int(w[1:]) for w in decode_words}
 
     def cluster_ok(ref, hyp):
-        it = iter(hyp)
         extra = [w for w in hyp if w not in ref]
         return all(
             any(idx[e] // 4 == idx[r] // 4 for r in ref) for e in extra

@@ -461,6 +461,7 @@ def _cmd_recognize(args) -> int:
         hop_mode=args.hop_mode,
     )
     audio = _read_audio(args.audio, sr)
+    segs_for_plot = None
     if args.nbest > 1 or args.rescore_lm or args.confidence:
         rescore = LanguageModel(args.rescore_lm) if args.rescore_lm else None
         seg_lists = rec.recognize_nbest(audio, n=args.nbest,
@@ -482,19 +483,25 @@ def _cmd_recognize(args) -> int:
                 print(f"seg {si} #{rank + 1} {h.score:.3f}  {rendered}",
                       file=sys.stderr)
     else:
-        segs = rec.recognize_segments(audio, word_times=args.word_times)
+        segs = rec.recognize_segments(audio,
+                                      word_times=args.word_times or
+                                      bool(args.plot))
         hyp = " ".join(w for seg in segs for w in seg.words)
         print(hyp)
         if args.word_times:
             for seg in segs:
                 for w, a, b in seg.word_times or []:
                     print(f"time\t{w}\t{a:.3f}\t{b:.3f}", file=sys.stderr)
+        segs_for_plot = segs
     if args.ref is not None:
         d = wer_details(args.ref.split(), hyp.split())
         print(f"WER {d['wer']:.3f}  (sub {d['sub']} del {d['del']} "
               f"ins {d['ins']} / {d['n_ref']} ref words)", file=sys.stderr)
     if args.plot:
-        segs_t = rec.recognize_segments(audio, word_times=True)
+        # the non-nbest branch already decoded with word times; only the
+        # N-best branch needs a fresh aligned pass
+        segs_t = segs_for_plot or rec.recognize_segments(audio,
+                                                         word_times=True)
         _plot_decode(args.plot, rec, audio, segs_t)
         print(f"decode-trellis plot -> {args.plot}", file=sys.stderr)
     return 0

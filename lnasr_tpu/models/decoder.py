@@ -323,19 +323,22 @@ class HostBackoffHop:
         }
 
     def block(self, rows: np.ndarray, cols: np.ndarray) -> np.ndarray:
-        """Dense ``(len(rows), len(cols))`` hop block."""
+        """Dense ``(len(rows), len(cols))`` hop block. ``rows`` may
+        contain repeats (every occurrence gets its arc maxima, matching
+        ``hop[np.ix_(rows, cols)]`` on the dense matrix)."""
         rows = np.asarray(rows)
         cols = np.asarray(cols)
         out = self.from_w[rows][:, None] + self.uni[cols][None, :]
-        row_pos = {int(r): i for i, r in enumerate(rows)}
+        row_pos: Dict[int, List[int]] = {}
+        for i, r in enumerate(rows):
+            row_pos.setdefault(int(r), []).append(i)
         for cj, c in enumerate(cols):
             c = int(c)
             if c == self.sil_idx:
                 out[:, cj] = self.sil_from[rows]
                 continue
             for s, x in self._dst_map.get(c, {}).items():
-                i = row_pos.get(s)
-                if i is not None:
+                for i in row_pos.get(s, ()):
                     out[i, cj] = max(out[i, cj], x)
         return out
 
@@ -995,6 +998,23 @@ class FactoredDecodingGraph:
     def grid_shape(self) -> Tuple[int, int]:
         return self.inner_a.shape[0], self.inner_a.shape[1]
 
+    def _kernel_ok(self, t_len: int) -> bool:
+        """Shared decode/lattice kernel-dispatch rule: float32 on TPU,
+        graph within the kernel family's capacity (dense hop within the
+        VMEM-resident budget; backoff factors only when edge-free, i.e.
+        the rank-1 word-loop realization)."""
+        from lnasr_tpu.ops.factored_pallas import (
+            factored_pallas_ok,
+            factored_rank1_ok,
+        )
+
+        if self.dtype != jnp.float32 or jax.default_backend() != "tpu":
+            return False
+        if isinstance(self.hop, HopFactors):
+            return (self.hop_rank1_only
+                    and factored_rank1_ok(t_len, len(self.words)))
+        return factored_pallas_ok(t_len, len(self.words))
+
     def host_hop(self):
         """Host-side hop accessor for the lattice layer: the dense NumPy
         matrix, or a :class:`HostBackoffHop` over the factors (cached)."""
@@ -1078,21 +1098,7 @@ class FactoredDecodingGraph:
         """Traceable decode core (see :meth:`DecodingGraph.decode_arrays`):
         dispatches to the fused Pallas kernels on TPU when the graph fits
         VMEM, the scan elsewhere — identical results."""
-        from lnasr_tpu.ops.factored_pallas import (
-            factored_pallas_ok,
-            factored_rank1_ok,
-        )
-
-        if isinstance(self.hop, HopFactors):
-            kernel_ok = (self.hop_rank1_only
-                         and factored_rank1_ok(obs.shape[0], len(self.words)))
-        else:
-            kernel_ok = factored_pallas_ok(obs.shape[0], len(self.words))
-        use_kernel = (
-            self.dtype == jnp.float32
-            and jax.default_backend() == "tpu"
-            and kernel_ok
-        )
+        use_kernel = self._kernel_ok(obs.shape[0])
         decode_fn = self._decode_fn_pallas if use_kernel else self._decode_fn
         return decode_fn(
             obs, mask, self.inner_a, self.hop, self.log_pi_w,
@@ -1186,22 +1192,9 @@ class FactoredDecodingGraph:
         restored to ``-inf`` here (the lattice builder filters records by
         ``isfinite``; an early all-unreachable frame would otherwise mint
         V bogus tokens at -1e30)."""
-        from lnasr_tpu.ops.factored_pallas import (
-            factored_pallas_ok,
-            factored_rank1_ok,
-        )
         from lnasr_tpu.ops.trellis_pallas import NEG
 
-        if isinstance(self.hop, HopFactors):
-            kernel_ok = (self.hop_rank1_only
-                         and factored_rank1_ok(obs.shape[0], len(self.words)))
-        else:
-            kernel_ok = factored_pallas_ok(obs.shape[0], len(self.words))
-        use_kernel = (
-            self.dtype == jnp.float32
-            and jax.default_backend() == "tpu"
-            and kernel_ok
-        )
+        use_kernel = self._kernel_ok(obs.shape[0])
         if use_kernel:
             exit_score, exit_start, exit_pred = self._lattice_fn_pallas(
                 obs, mask, self.inner_a, self.hop, self.log_pi_w,

@@ -216,7 +216,19 @@ class Recognizer:
             n_states = sum(
                 am.units[u].n for w in lexicon for u in lexicon[w]
             ) + (silence.n if silence is not None else 0)
-            graph = "dense" if n_states <= self.DENSE_STATE_LIMIT else "factored"
+            # an explicit hop_mode is a factored-graph realization
+            # choice, so it pins "auto" to factored
+            if hop_mode != "auto":
+                graph = "factored"
+            else:
+                graph = ("dense" if n_states <= self.DENSE_STATE_LIMIT
+                         else "factored")
+        if graph != "factored" and hop_mode != "auto":
+            raise ValueError(
+                f'hop_mode={hop_mode!r} only applies to graph="factored" '
+                f'(got graph={graph!r}); the dense and trigram graphs '
+                "have no word-hop realization choice"
+            )
         if graph == "trigram":
             if lm is None:
                 raise ValueError('graph="trigram" requires a language model')

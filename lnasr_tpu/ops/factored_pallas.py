@@ -525,8 +525,8 @@ def factored_rank1_ok(t_len: int, v_words: int,
     """Capacity check for the rank-1 (word-loop) hop kernels: with no
     (V, V) matrix the VMEM drivers are the inner blocks and the
     double-buffered (TC, S, V) emission/grid pipeline blocks; TC shrinks
-    with V (:func:`_rank1_tc`), so vocabularies ~7x past the dense cap
-    fit (~13k words at TC=4; beyond that the scan realization takes
+    with V (:func:`_rank1_tc`), so vocabularies ~6x past the dense cap
+    fit (~10.7k words at TC=8; beyond that the scan realization takes
     over)."""
     v_pad = max(_LANES, -(-v_words // _LANES) * _LANES)
     tc = _rank1_tc(v_pad)

@@ -404,3 +404,24 @@ def test_nbest_bucketed_matches_unbucketed(trained_recognizer):
     assert [h.words for h in got] == [h.words for h in ref]
     for g, r in zip(got, ref):
         assert abs(g.score - r.score) < 1e-3, (g.score, r.score)
+
+
+def test_hop_mode_selection_rules(trained_recognizer):
+    """An explicit hop_mode pins graph="auto" to the factored graph (the
+    hop realization is a factored-graph choice), matches the dense-hop
+    transcription, and is rejected loudly on graphs that cannot honor it
+    (round-5 review: the flag silently did nothing on graph="dense")."""
+    rec, rng = trained_recognizer
+    from lnasr_tpu.models.decoder import FactoredDecodingGraph, HopFactors
+
+    rec_bo = Recognizer(rec.am, rec.lexicon, rec.lm, vad=None,
+                        decoder_config=DecoderConfig(lm_scale=0.5),
+                        hop_mode="backoff")  # graph defaults to "auto"
+    assert isinstance(rec_bo.graph, FactoredDecodingGraph)
+    assert isinstance(rec_bo.graph.hop, HopFactors)
+    truth = ["mid", "low", "high"]
+    audio = _utterance(truth, rng, gap=0.12)
+    assert rec_bo.recognize(audio) == rec.recognize(audio)
+    with pytest.raises(ValueError, match="hop_mode"):
+        Recognizer(rec.am, rec.lexicon, rec.lm, graph="dense",
+                   hop_mode="backoff")
