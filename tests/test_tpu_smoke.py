@@ -239,3 +239,82 @@ def test_fused_serving_programs_lower():
     hyps = rec_f.decode_segment_nbest(test_audio, n=2)
     best_words, _ = rec_f.decode_segment(test_audio)
     assert hyps and hyps[0].words == best_words
+
+
+def test_rank1_kernels_lower_and_match_scan():
+    """The round-5 rank-1 (word-loop) hop kernels on REAL hardware, at a
+    vocabulary past the dense cap AND past the TC=16 tier (TC=8): fused
+    decode and lattice recording must match the scan realization
+    bitwise (the TC=4 tier failed exactly this lowering check)."""
+    import types
+
+    from lnasr_tpu.config import GMMHMMConfig
+    from lnasr_tpu.models.decoder import (
+        DecoderConfig,
+        FactoredDecodingGraph,
+        _factored_grid_inputs,
+        factored_lattice_scan,
+        factored_trellis_scan,
+    )
+    from lnasr_tpu.models.lexicon import Lexicon
+    from lnasr_tpu.ops.factored_pallas import (
+        factored_decode_pallas,
+        factored_lattice_pallas,
+        factored_rank1_ok,
+    )
+
+    rng = _rng()
+    v, dim, ns, t = 3000, 6, 3, 50
+    assert factored_rank1_ok(t, v)
+    cfg = GMMHMMConfig(n_states=ns, n_mix=1, dim=dim)
+    with np.errstate(divide="ignore"):
+        log_a = np.log(np.where(np.eye(ns) + np.eye(ns, k=1) > 0,
+                                0.5, 0.0)).astype(np.float32)
+    means = rng.normal(scale=10.0, size=(v, dim))
+    units = {
+        f"w{i:04d}": types.SimpleNamespace(
+            n=ns, config=cfg, log_a=log_a,
+            log_w=np.zeros((ns, 1), np.float32),
+            mu=(means[i][None, None, :]
+                + np.arange(ns)[:, None, None] * 0.4).astype(np.float32),
+            cov=np.full((ns, 1, dim), 0.3, np.float32),
+        )
+        for i in range(v)
+    }
+    graph = FactoredDecodingGraph.build(
+        Lexicon.whole_word(sorted(units)), units, None,
+        DecoderConfig(loop=True), dtype=jnp.float32, hop_mode="rank1",
+    )
+    assert graph.hop_rank1_only
+    obs = rng.normal(scale=10.0, size=(t, dim)).astype(np.float32)
+    log_b, pi_grid, final_grid = _factored_grid_inputs(
+        jnp.asarray(obs), graph.log_pi_w, graph.log_final_w,
+        graph.exit_idx, graph.state_map, graph.pad_mask,
+        graph.log_w, graph.mu, graph.cov, graph.cov_type,
+    )
+    ps, ss = factored_trellis_scan(
+        log_b, graph.inner_a, graph.hop, pi_grid, final_grid,
+        graph.exit_idx, None,
+    )
+    pk, sk = factored_decode_pallas(
+        pi_grid, graph.inner_a, graph.exit_idx, graph.hop, log_b,
+        final_grid, None,
+    )
+    np.testing.assert_array_equal(np.asarray(ps), np.asarray(pk))
+    assert float(ss) == float(sk)
+
+    s_sc, st_sc, pr_sc, _ = factored_lattice_scan(
+        log_b, graph.inner_a, graph.hop, pi_grid, graph.exit_idx
+    )
+    s_k, st_k, pr_k = factored_lattice_pallas(
+        pi_grid, graph.inner_a, graph.exit_idx, graph.hop, log_b
+    )
+    from lnasr_tpu.ops.trellis_pallas import NEG
+
+    finite = np.asarray(s_sc) > NEG / 2
+    np.testing.assert_array_equal(np.asarray(s_sc)[finite],
+                                  np.asarray(s_k)[finite])
+    np.testing.assert_array_equal(np.asarray(st_sc)[finite],
+                                  np.asarray(st_k)[finite])
+    np.testing.assert_array_equal(np.asarray(pr_sc)[finite],
+                                  np.asarray(pr_k)[finite])
