@@ -51,8 +51,12 @@ FIXTURES = [
     "/root/reference/test/third/data-vad.raw",
     "/root/reference/test/data.raw",
 ]
+# snr5/snr0 are APPENDED (noise_rng draws for the gated conditions stay
+# bit-identical to earlier rounds) and are NOT gated: protocol v2's
+# gated rows are near-saturated (round 5: clean 0.032, 20 dB 0.000), so
+# these harder rows show where the headroom actually is
 CONDITIONS = [("clean", None), ("snr20", 20.0), ("snr10", 10.0),
-              ("reverb", "reverb")]
+              ("reverb", "reverb"), ("snr5", 5.0), ("snr0", 0.0)]
 N_TEST_UTTS = 20
 
 
