@@ -167,8 +167,10 @@ def _factored_sol(vocab: int, n_frames: int, seconds: float) -> dict:
                + 3 * v_pad)               # hop row add/max/argmin
     vpu_ops = n_frames * (fwd_vpu + bwd_vpu)
     mxu = n_frames * (v_pad // 128) * 2 * 128 * 384 * 128  # relayout
-    hbm = n_frames * (3 * s_pad * v_pad * 4   # grids: write + ~2x read
+    hbm = n_frames * (2 * s_pad * v_pad * 4   # grids: write + ONE read
                       + s_pad * v_pad * 4)    # emissions read
+    # (the backtrace reads each grid block once since the last-row side
+    # input replaced the overlapping previous-block re-read)
     t_vpu = vpu_ops / _VPU_ELEMOPS
     t_mxu = mxu / _MXU_FLOPS
     t_hbm = hbm / _HBM_BPS
@@ -396,7 +398,8 @@ def _rank1_sol(vocab: int, n_frames: int, seconds: float) -> dict:
     s_pad = 8
     vpu = n_frames * (2 * s_pad * s_pad * v_pad + 10 * v_pad
                       + 2 * 2 * s_pad * v_pad)  # + backtrace selects
-    hbm = n_frames * (3 * s_pad * v_pad * 4 + s_pad * v_pad * 4)
+    hbm = n_frames * (2 * s_pad * v_pad * 4   # grids: write + ONE read
+                      + s_pad * v_pad * 4)    # emissions read
     t_vpu, t_hbm = vpu / _VPU_ELEMOPS, hbm / _HBM_BPS
     floor = max(t_vpu, t_hbm)
     return {

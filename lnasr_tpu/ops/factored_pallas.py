@@ -283,7 +283,7 @@ def factored_forward_pallas(
     )
 
 
-def _bwd_kernel(vg_cur_ref, vg_prev_ref, atb_ref, exitm_ref, hop_t_ref,
+def _bwd_kernel(vg_cur_ref, prev_last_ref, atb_ref, exitm_ref, hop_t_ref,
                 eidx_ref, final_ref, mask_ref, path_ref, score_ref,
                 state_ref, *, t_len: int, s_max: int, n_blocks: int,
                 hop_kind: str):
@@ -296,7 +296,8 @@ def _bwd_kernel(vg_cur_ref, vg_prev_ref, atb_ref, exitm_ref, hop_t_ref,
     is one sequential in-VMEM loop instead of a T-step XLA scan with
     per-step dispatch (measured 25.6 of the 28.9 ms 1k-word decode).
 
-    Layouts: vg blocks (TC, S, V); atb (S_j, S_from, V) with
+    Layouts: vg blocks (TC, S, V) + the previous block's last grid row
+    (1, S, V); atb (S_j, S_from, V) with
     ``atb[j, s, v] = inner_a[v, s, j]``; hop_t (V_to, V_from) =
     ``hop.T``; eidx (1, V) int32 exit-state indices; final (S, V);
     mask (T_pad,) int32 in SMEM. Outputs: path (TC, 128) int32 blocks
@@ -331,8 +332,12 @@ def _bwd_kernel(vg_cur_ref, vg_prev_ref, atb_ref, exitm_ref, hop_t_ref,
                 lp = lt - 1
                 lpc = jnp.maximum(lp, 0)
                 vprev = jnp.where(
-                    lp >= 0, vg_cur_ref[lpc], vg_prev_ref[tc - 1]
-                )  # (S, V)
+                    lp >= 0, vg_cur_ref[lpc], prev_last_ref[0]
+                )  # (S, V); frame 0 of a block reads the previous
+                # block's LAST row (streamed as a tiny (1, S, V) block
+                # instead of re-reading the whole previous grid block —
+                # the overlapping double-read was ~half the backtrace's
+                # HBM traffic)
                 v_w = state // s_max
                 j = state % s_max
                 atb_j = atb_ref[pl.ds(j, 1)][0]  # (S_from, V)
@@ -422,6 +427,10 @@ def factored_decode_pallas(
     fin = _pad(_pad(_finite(log_final_grid, dtype), v_pad, 0).T, _SUB, 0)
 
     n_blocks = t_pad // tc
+    # each block's LAST grid row, for the cross-block vprev at a block's
+    # first frame — a (n_blocks, 1, S, V) side input instead of
+    # re-streaming every previous grid block (halves backtrace reads)
+    last_rows = vgrids[tc - 1 :: tc]  # (n_blocks, S, V)
     path, score = pl.pallas_call(
         functools.partial(_bwd_kernel, t_len=t_len, s_max=s_max,
                           n_blocks=n_blocks, hop_kind=hop_kind),
@@ -429,8 +438,9 @@ def factored_decode_pallas(
         in_specs=[
             pl.BlockSpec((tc, _SUB, v_pad),
                          lambda b: (n_blocks - 1 - b, 0, 0)),
-            pl.BlockSpec((tc, _SUB, v_pad),
-                         lambda b: (jnp.maximum(n_blocks - 2 - b, 0), 0, 0)),
+            pl.BlockSpec((1, _SUB, v_pad),
+                         lambda b: (jnp.maximum(n_blocks - 2 - b, 0),
+                                    0, 0)),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # atb
             pl.BlockSpec(memory_space=pltpu.VMEM),  # exitm
             pl.BlockSpec(memory_space=pltpu.VMEM),  # hop_t
@@ -448,7 +458,7 @@ def factored_decode_pallas(
         ],
         scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
         interpret=interpret,
-    )(vgrids, vgrids, atb, prep["exitm"], hop_t, eidx, fin, prep["m"])
+    )(vgrids, last_rows, atb, prep["exitm"], hop_t, eidx, fin, prep["m"])
     return path[:t_len, 0], score[0, 0]
 
 
